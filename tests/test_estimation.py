@@ -1,0 +1,176 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vido_slam_tpu.estimation import (
+    estimate_camera_pose,
+    estimate_object_motion,
+    object_motion_optimization,
+    pose_optimization,
+)
+from vido_slam_tpu.estimation.lm import lm_solve
+from vido_slam_tpu.estimation.ransac import pnp_ransac
+from vido_slam_tpu.geometry import se3, so3
+from vido_slam_tpu.geometry.camera import Camera
+
+
+def make_cam():
+    return Camera.create(fx=816.402, fy=817.38, cx=608.2658, cy=266.688,
+                         width=1280, height=560, bf=387.57)
+
+
+def synthetic_scene(key, n=200, depth_range=(5.0, 40.0)):
+    """Random world points visible from identity camera."""
+    cam = make_cam()
+    k1, k2, k3 = jax.random.split(key, 3)
+    u = jax.random.uniform(k1, (n,), minval=50.0, maxval=cam.width - 50.0)
+    v = jax.random.uniform(k2, (n,), minval=50.0, maxval=cam.height - 50.0)
+    z = jax.random.uniform(k3, (n,), minval=depth_range[0], maxval=depth_range[1])
+    pts = cam.backproject(jnp.stack([u, v], -1), z)
+    return cam, pts
+
+
+def small_pose(tx=0.3, ty=-0.1, tz=0.5, rx=0.01, ry=0.03, rz=-0.02):
+    return se3.make_se3(
+        so3.exp_so3(jnp.array([rx, ry, rz])), jnp.array([tx, ty, tz])
+    )
+
+
+class TestLM:
+    def test_quadratic(self):
+        # fit y = a*x + b
+        x = jnp.linspace(0, 1, 50)
+        y = 2.0 * x + 1.0
+
+        def residual(p):
+            return (p[0] * x + p[1] - y)[:, None]
+
+        res = lm_solve(residual, jnp.zeros(2), max_iters=50)
+        np.testing.assert_allclose(res.x, [2.0, 1.0], atol=1e-4)
+
+    def test_huber_downweights_outliers(self):
+        x = jnp.linspace(0, 1, 50)
+        y = 2.0 * x + 1.0
+        y = y.at[0].set(100.0)  # gross outlier
+
+        def residual(p):
+            return (p[0] * x + p[1] - y)[:, None]
+
+        res_plain = lm_solve(residual, jnp.zeros(2), max_iters=50)
+        res_huber = lm_solve(residual, jnp.zeros(2), max_iters=50, huber_delta=0.1)
+        err_plain = abs(float(res_plain.x[0]) - 2.0)
+        err_huber = abs(float(res_huber.x[0]) - 2.0)
+        assert err_huber < err_plain / 10
+
+    def test_mask_removes_blocks(self):
+        x = jnp.linspace(0, 1, 50)
+        y = 2.0 * x + 1.0
+        y = y.at[0].set(100.0)
+        mask = jnp.ones(50, bool).at[0].set(False)
+
+        def residual(p):
+            return (p[0] * x + p[1] - y)[:, None]
+
+        res = lm_solve(residual, jnp.zeros(2), mask=mask, max_iters=50)
+        np.testing.assert_allclose(res.x, [2.0, 1.0], atol=1e-3)
+
+
+class TestPoseOptimization:
+    def test_recovers_exact_pose(self):
+        cam, pts_w = synthetic_scene(jax.random.PRNGKey(0))
+        T_true = small_pose()
+        obs = cam.project(se3.transform_points(T_true, pts_w))
+        valid = jnp.ones(pts_w.shape[0], bool)
+        # start from a perturbed pose
+        T0 = se3.compose(se3.exp_se3(jnp.array([0.05, -0.02, 0.1, 0.005, -0.01, 0.002])), T_true)
+        est = pose_optimization(T0, pts_w, obs, valid, cam)
+        np.testing.assert_allclose(np.array(est.T), np.array(T_true), atol=2e-3)
+        assert int(est.num_inliers) > 190
+
+    def test_outliers_rejected(self):
+        cam, pts_w = synthetic_scene(jax.random.PRNGKey(1))
+        T_true = small_pose()
+        obs = cam.project(se3.transform_points(T_true, pts_w))
+        # corrupt 20% of observations
+        n_bad = 40
+        obs = obs.at[:n_bad].add(jnp.full((n_bad, 2), 30.0))
+        valid = jnp.ones(pts_w.shape[0], bool)
+        est = pose_optimization(T_true, pts_w, obs, valid, cam)
+        assert not bool(jnp.any(est.inliers[:n_bad]))
+        assert int(est.num_inliers) >= 150
+        np.testing.assert_allclose(np.array(est.T), np.array(T_true), atol=5e-3)
+
+
+class TestRansac:
+    def test_finds_pose_with_outliers(self):
+        cam, pts_w = synthetic_scene(jax.random.PRNGKey(2), n=300)
+        T_true = small_pose(tx=1.0, tz=2.0, ry=0.05)
+        obs = cam.project(se3.transform_points(T_true, pts_w))
+        # 30% outliers
+        key = jax.random.PRNGKey(3)
+        noise = jax.random.uniform(key, (90, 2), minval=-200, maxval=200)
+        obs = obs.at[:90].add(noise)
+        valid = jnp.ones(300, bool)
+        rr = pnp_ransac(jax.random.PRNGKey(4), pts_w, obs, valid, cam)
+        assert int(rr.num_inliers) > 180
+        # inliers should be (mostly) the uncorrupted points
+        assert int(jnp.sum(rr.inliers[:90])) < 10
+        np.testing.assert_allclose(np.array(rr.T), np.array(T_true), atol=0.05)
+
+    def test_respects_valid_mask(self):
+        cam, pts_w = synthetic_scene(jax.random.PRNGKey(5), n=100)
+        T_true = small_pose()
+        obs = cam.project(se3.transform_points(T_true, pts_w))
+        valid = jnp.zeros(100, bool).at[:50].set(True)
+        rr = pnp_ransac(jax.random.PRNGKey(6), pts_w, obs, valid, cam)
+        assert int(rr.num_inliers) <= 50
+
+
+class TestEstimateCameraPose:
+    def test_pipeline_beats_bad_motion_model(self):
+        cam, pts_w = synthetic_scene(jax.random.PRNGKey(7), n=400)
+        T_true = small_pose(tx=0.5, tz=1.0)
+        obs = cam.project(se3.transform_points(T_true, pts_w))
+        valid = jnp.ones(400, bool)
+        T_mm = jnp.eye(4)  # wrong motion model
+        est = estimate_camera_pose(jax.random.PRNGKey(8), pts_w, obs, valid, cam, T_mm)
+        np.testing.assert_allclose(np.array(est.T), np.array(T_true), atol=5e-3)
+
+    def test_pipeline_uses_good_motion_model(self):
+        cam, pts_w = synthetic_scene(jax.random.PRNGKey(9), n=50)
+        T_true = small_pose()
+        obs = cam.project(se3.transform_points(T_true, pts_w))
+        valid = jnp.ones(50, bool)
+        est = estimate_camera_pose(jax.random.PRNGKey(10), pts_w, obs, valid, cam, T_true)
+        np.testing.assert_allclose(np.array(est.T), np.array(T_true), atol=1e-3)
+
+
+class TestObjectMotion:
+    def test_recovers_object_motion(self):
+        cam, pts_w = synthetic_scene(jax.random.PRNGKey(11), n=150, depth_range=(8.0, 20.0))
+        Tcw = small_pose(tx=0.1, tz=0.3)
+        # object moves in world frame
+        H_true = se3.make_se3(
+            so3.exp_so3(jnp.array([0.0, 0.02, 0.0])), jnp.array([0.8, 0.0, -0.4])
+        )
+        pts_moved = se3.transform_points(H_true, pts_w)
+        obs = cam.project(se3.transform_points(Tcw, pts_moved))
+        valid = jnp.ones(150, bool)
+        est = estimate_object_motion(
+            jax.random.PRNGKey(12), Tcw, pts_w, obs, valid, cam,
+            jnp.eye(4), jnp.bool_(False),
+        )
+        np.testing.assert_allclose(np.array(est.T), np.array(H_true), atol=5e-3)
+        assert int(est.num_inliers) > 140
+
+    def test_motion_model_hypothesis_wins_when_exact(self):
+        cam, pts_w = synthetic_scene(jax.random.PRNGKey(13), n=60, depth_range=(8.0, 20.0))
+        Tcw = small_pose()
+        H_true = se3.make_se3(jnp.eye(3), jnp.array([0.5, 0.0, 0.0]))
+        obs = cam.project(se3.transform_points(Tcw, se3.transform_points(H_true, pts_w)))
+        valid = jnp.ones(60, bool)
+        est = estimate_object_motion(
+            jax.random.PRNGKey(14), Tcw, pts_w, obs, valid, cam,
+            H_true, jnp.bool_(True),
+        )
+        np.testing.assert_allclose(np.array(est.T), np.array(H_true), atol=1e-3)

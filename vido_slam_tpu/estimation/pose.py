@@ -1,0 +1,183 @@
+"""Per-frame camera pose and object motion estimation.
+
+TPU-native replacements for the reference's per-frame g2o solves:
+- `pose_optimization`         ~ Optimizer::PoseOptimizationNew
+  (Optimizer.cc:2180-2334): unary 3D-2D reprojection on the camera pose,
+  Huber delta sqrt(0.01), 100 LM iterations, outliers at chi2 > 0.01.
+- `object_motion_optimization` ~ Optimizer::PoseOptimizationObjMot
+  (Optimizer.cc:2826-3035): unary reprojection through P = K*Tcw on the
+  object's world-frame SE(3) motion H (X_cur = H X_pre), no robust kernel,
+  200 LM iterations, outliers at chi2 > 0.01.
+- `estimate_camera_pose`       ~ Tracking::GetInitModelCam + PoseOptimizationNew
+  (Tracking.cc:1914-2027): parallel RANSAC vs constant-velocity model — the
+  hypothesis with more 0.4 px inliers wins, then LM refines on its inliers.
+- `estimate_object_motion`     ~ Tracking::GetInitModelObj + PoseOptimizationObjMot
+  (Tracking.cc:2030-2162): RANSAC vs propagated previous object motion.
+
+Everything is fixed-shape and jit-compiled; validity masks replace the
+reference's index vectors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vido_slam_tpu.estimation.lm import lm_solve
+from vido_slam_tpu.estimation.ransac import pnp_ransac
+from vido_slam_tpu.geometry.camera import Camera
+from vido_slam_tpu.geometry.se3 import compose, exp_se3, inverse_se3
+
+_HI = lax.Precision.HIGHEST
+
+# Reference constants (Optimizer.cc:2184, 2273-2274, 2957-2959)
+RP_THRES = 0.01          # chi2 inlier threshold, both camera and object
+HUBER_DELTA_POSE = 0.1   # sqrt(0.01)
+POSE_ITERS = 100
+OBJ_ITERS = 200
+RANSAC_REPROJ = 0.4      # px (Tracking.cc:1966)
+MIN_CORRESPONDENCES = 3
+
+
+class PoseEstimate(NamedTuple):
+    T: jnp.ndarray         # (4, 4) optimized transform
+    inliers: jnp.ndarray   # (N,) bool post-optimization inlier mask
+    num_inliers: jnp.ndarray
+    chi2: jnp.ndarray      # (N,) final per-point squared reprojection error
+
+
+def _project(cam: Camera, pts_cam: jnp.ndarray) -> jnp.ndarray:
+    return cam.project(pts_cam)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def pose_optimization(
+    T_init: jnp.ndarray,
+    pts3d_world: jnp.ndarray,  # (N, 3) last-frame unprojections in world
+    obs_uv: jnp.ndarray,       # (N, 2) current-frame pixels
+    valid: jnp.ndarray,        # (N,) bool
+    cam: Camera,
+    max_iters: int = POSE_ITERS,
+) -> PoseEstimate:
+    """LM refine of the camera pose on fixed correspondences."""
+
+    def residual(xi):
+        T = compose(exp_se3(xi), T_init)
+        pc = jnp.einsum("nj,ij->ni", pts3d_world, T[:3, :3], precision=_HI) + T[:3, 3]
+        return _project(cam, pc) - obs_uv
+
+    res = lm_solve(
+        residual,
+        jnp.zeros(6, dtype=jnp.float32),
+        mask=valid,
+        max_iters=max_iters,
+        huber_delta=HUBER_DELTA_POSE,
+    )
+    T_opt = compose(exp_se3(res.x), T_init)
+    inl = (res.chi2 <= RP_THRES) & valid
+    return PoseEstimate(T=T_opt, inliers=inl, num_inliers=jnp.sum(inl), chi2=res.chi2)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def object_motion_optimization(
+    H_init: jnp.ndarray,       # (4, 4) initial world-frame object motion
+    Tcw: jnp.ndarray,          # (4, 4) current camera pose (fixed)
+    pts3d_world: jnp.ndarray,  # (N, 3) object points in world (last frame)
+    obs_uv: jnp.ndarray,       # (N, 2) current-frame pixels
+    valid: jnp.ndarray,
+    cam: Camera,
+    max_iters: int = OBJ_ITERS,
+) -> PoseEstimate:
+    """LM refine of a rigid object's SE(3) motion H: X_cur^w = H X_pre^w.
+
+    Residual: obs - pi(K * Tcw * H * X_pre^w) — EdgeSE3ProjectXYZOnlyObjMotion
+    (g2o/types/types_six_dof_expmap.h:214) with projection P = K*Tcw
+    (Optimizer.cc:2890-2892). No robust kernel, matching the reference.
+    """
+
+    def residual(xi):
+        H = compose(exp_se3(xi), H_init)
+        pw = jnp.einsum("nj,ij->ni", pts3d_world, H[:3, :3], precision=_HI) + H[:3, 3]
+        pc = jnp.einsum("nj,ij->ni", pw, Tcw[:3, :3], precision=_HI) + Tcw[:3, 3]
+        return _project(cam, pc) - obs_uv
+
+    res = lm_solve(
+        residual,
+        jnp.zeros(6, dtype=jnp.float32),
+        mask=valid,
+        max_iters=max_iters,
+        huber_delta=None,
+    )
+    H_opt = compose(exp_se3(res.x), H_init)
+    inl = (res.chi2 <= RP_THRES) & valid
+    return PoseEstimate(T=H_opt, inliers=inl, num_inliers=jnp.sum(inl), chi2=res.chi2)
+
+
+def _count_model_inliers(T, pts3d, obs_uv, valid, cam, thresh=RANSAC_REPROJ):
+    pc = jnp.einsum("nj,ij->ni", pts3d, T[:3, :3], precision=_HI) + T[:3, 3]
+    err = jnp.linalg.norm(_project(cam, pc) - obs_uv, axis=-1)
+    ok = (err < thresh) & valid & (pc[:, 2] > 0)
+    return ok, jnp.sum(ok)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses",))
+def estimate_camera_pose(
+    key: jnp.ndarray,
+    pts3d_world: jnp.ndarray,
+    obs_uv: jnp.ndarray,
+    valid: jnp.ndarray,
+    cam: Camera,
+    T_motion_model: jnp.ndarray,  # velocity * T_last (Tracking.cc:1984-1987)
+    num_hypotheses: int = 500,
+) -> PoseEstimate:
+    """Full camera-pose pipeline: RANSAC vs motion model, then LM refine.
+
+    Matches Tracking.cc:1125-1136: the init hypothesis with more 0.4 px
+    inliers wins; the subsequent optimization runs on that hypothesis's
+    inlier set.
+    """
+    rr = pnp_ransac(
+        key, pts3d_world, obs_uv, valid, cam, num_hypotheses=num_hypotheses
+    )
+    mm_ok, mm_count = _count_model_inliers(T_motion_model, pts3d_world, obs_uv, valid, cam)
+    use_ransac = rr.num_inliers > mm_count
+    T_init = jnp.where(use_ransac, rr.T, T_motion_model)
+    init_inl = jnp.where(use_ransac, rr.inliers, mm_ok)
+    return pose_optimization(T_init, pts3d_world, obs_uv, init_inl, cam)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses",))
+def estimate_object_motion(
+    key: jnp.ndarray,
+    Tcw: jnp.ndarray,
+    pts3d_world: jnp.ndarray,
+    obs_uv: jnp.ndarray,
+    valid: jnp.ndarray,
+    cam: Camera,
+    H_motion_model: jnp.ndarray,   # previous motion of same object (world)
+    has_motion_model: jnp.ndarray,  # scalar bool
+    num_hypotheses: int = 500,
+) -> PoseEstimate:
+    """Full object-motion pipeline (Tracking.cc:1213,2030-2162).
+
+    RANSAC solves for M = Tcw*H (projection of pre-world points into the
+    current image); the motion-model hypothesis is Tcw*H_prev. The winner is
+    converted back to H = Tcw^-1 * M and refined with the object-motion LM.
+    """
+    rr = pnp_ransac(
+        key, pts3d_world, obs_uv, valid, cam, num_hypotheses=num_hypotheses
+    )
+    M_mm = compose(Tcw, H_motion_model)
+    mm_ok, mm_count = _count_model_inliers(M_mm, pts3d_world, obs_uv, valid, cam)
+    mm_count = jnp.where(has_motion_model, mm_count, -1)
+    use_ransac = rr.num_inliers > mm_count
+    M_init = jnp.where(use_ransac, rr.T, M_mm)
+    init_inl = jnp.where(use_ransac, rr.inliers, mm_ok)
+    H_init = compose(inverse_se3(Tcw), M_init)
+    return object_motion_optimization(
+        H_init, Tcw, pts3d_world, obs_uv, init_inl, cam
+    )

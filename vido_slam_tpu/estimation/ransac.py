@@ -1,0 +1,123 @@
+"""Batched PnP RANSAC, pure JAX — the TPU replacement for cv::solvePnPRansac.
+
+The reference initializes camera/object motion with OpenCV P3P RANSAC, 500
+iterations, 0.4 px reprojection threshold (Tracking.cc:1965-1968 /
+GetInitModelObj). RANSAC is embarrassingly parallel: here all hypotheses are
+generated and scored at once with `vmap` — one fused XLA program instead of a
+sequential loop.
+
+Minimal solver: 6-point DLT in normalized camera coordinates with 3D data
+conditioning (Hartley normalization), orthogonal Procrustes projection onto
+SO(3), and cheirality sign fix. Degenerate samples simply score few inliers
+and lose the argmax; no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vido_slam_tpu.geometry.camera import Camera
+from vido_slam_tpu.geometry.se3 import make_se3
+
+_HI = lax.Precision.HIGHEST
+
+
+class RansacResult(NamedTuple):
+    T: jnp.ndarray          # (4, 4) best pose hypothesis, world->camera
+    inliers: jnp.ndarray    # (N,) bool inlier mask under the best hypothesis
+    num_inliers: jnp.ndarray  # scalar int
+
+
+def _dlt_pose(X: jnp.ndarray, x_norm: jnp.ndarray) -> jnp.ndarray:
+    """6+ point DLT: 3D points (S, 3) + normalized image coords (S, 2)
+    -> (4, 4) pose [R|t] (world->camera). Batched via vmap outside."""
+    # condition the 3D points
+    mu = jnp.mean(X, axis=0)
+    scale = jnp.mean(jnp.linalg.norm(X - mu, axis=-1)) + 1e-12
+    Xc = (X - mu) / scale
+
+    S = X.shape[0]
+    ones = jnp.ones((S, 1), dtype=X.dtype)
+    Xh = jnp.concatenate([Xc, ones], axis=-1)  # (S, 4)
+    u = x_norm[:, 0:1]
+    v = x_norm[:, 1:2]
+    zeros = jnp.zeros_like(Xh)
+    # rows: [Xh, 0, -u*Xh] and [0, Xh, -v*Xh]
+    r1 = jnp.concatenate([Xh, zeros, -u * Xh], axis=-1)  # (S, 12)
+    r2 = jnp.concatenate([zeros, Xh, -v * Xh], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)  # (2S, 12)
+    AtA = jnp.einsum("ni,nj->ij", A, A, precision=_HI)
+    _, vecs = jnp.linalg.eigh(AtA)
+    p = vecs[:, 0]  # smallest eigenvalue eigenvector
+    P = p.reshape(3, 4)
+
+    # cheirality: depths of the sample points should be positive
+    z = Xh @ P[2]
+    sign = jnp.where(jnp.sum(jnp.sign(z)) < 0, -1.0, 1.0)
+    P = P * sign
+
+    # extract R (Procrustes) and scale
+    M = P[:, :3]
+    U, s, Vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(jnp.matmul(U, Vt, precision=_HI))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype=X.dtype)).at[2, 2].set(det)
+    R = jnp.matmul(jnp.matmul(U, D, precision=_HI), Vt, precision=_HI)
+    sc = jnp.mean(s) + 1e-12
+    t = P[:, 3] / sc
+
+    # undo conditioning: x ~ R (X-mu)/scale + t  =>  t_final = scale*t - R mu
+    t_final = scale * t - R @ mu
+    return make_se3(R, t_final)
+
+
+def _score(T: jnp.ndarray, X: jnp.ndarray, obs_uv: jnp.ndarray, cam: Camera,
+           valid: jnp.ndarray, thresh: float):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    pc = jnp.einsum("ij,nj->ni", R, X, precision=_HI) + t
+    uv = cam.project(pc)
+    err = jnp.linalg.norm(uv - obs_uv, axis=-1)
+    ok = (err < thresh) & valid & (pc[:, 2] > 0)
+    return ok, jnp.sum(ok)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "sample_size"))
+def pnp_ransac(
+    key: jnp.ndarray,
+    pts3d: jnp.ndarray,     # (N, 3) world points (last-frame unprojections)
+    obs_uv: jnp.ndarray,    # (N, 2) current-frame pixels
+    valid: jnp.ndarray,     # (N,) bool
+    cam: Camera,
+    *,
+    num_hypotheses: int = 500,
+    sample_size: int = 6,
+    threshold: float = 0.4,  # px, Tracking.cc:1966
+) -> RansacResult:
+    """All-parallel RANSAC: returns best pose + inlier mask."""
+    N = pts3d.shape[0]
+    # sample indices weighted toward valid points (invalid ones would produce
+    # bad hypotheses that lose anyway, but don't waste hypotheses on them)
+    p = valid.astype(jnp.float32)
+    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    p = jnp.where(jnp.sum(valid) > 0, p, jnp.full((N,), 1.0 / N))
+    idx = jax.random.choice(
+        key, N, shape=(num_hypotheses, sample_size), replace=True, p=p
+    )
+
+    x_norm = jnp.stack(
+        [(obs_uv[:, 0] - cam.cx) / cam.fx, (obs_uv[:, 1] - cam.cy) / cam.fy],
+        axis=-1,
+    )
+
+    def one(ix):
+        return _dlt_pose(pts3d[ix], x_norm[ix])
+
+    Ts = jax.vmap(one)(idx)  # (H, 4, 4)
+    ok, counts = jax.vmap(lambda T: _score(T, pts3d, obs_uv, cam, valid, threshold))(Ts)
+    best = jnp.argmax(counts)
+    return RansacResult(T=Ts[best], inliers=ok[best], num_inliers=counts[best])
