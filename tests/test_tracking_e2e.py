@@ -1,0 +1,113 @@
+"""End-to-end mono VO + dynamic-object tracking on a synthetic sequence."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vido_slam_tpu.config import config_from_dict
+from vido_slam_tpu.io.synthetic import SyntheticSequence, simple_scene
+from vido_slam_tpu.metrics import ate_rmse, rpe_camera, speed_error
+from vido_slam_tpu.tracking import Tracker
+
+
+def make_config(scene):
+    cam = scene.cam
+    return config_from_dict(
+        {
+            "Camera.width": cam.width,
+            "Camera.height": cam.height,
+            "Camera.fx": float(cam.fx),
+            "Camera.fy": float(cam.fy),
+            "Camera.cx": float(cam.cx),
+            "Camera.cy": float(cam.cy),
+            "Camera.bf": float(cam.bf),
+            "ThDepthBG": 80.0,
+            "ThDepthOBJ": 60.0,
+            "MaxTrackPointBG": 1200,
+            "MaxTrackPointOBJ": 800,
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    scene = simple_scene(width=256, height=160, moving_box=True, box_speed=0.6)
+    # forward motion with slight yaw: camera-frame per-step motion
+    from vido_slam_tpu.geometry.se3 import make_se3
+    from vido_slam_tpu.geometry.so3 import exp_so3
+
+    dT = np.asarray(
+        make_se3(exp_so3(jnp.array([0.0, 0.01, 0.0])), jnp.array([0.02, 0.0, -0.4]))
+    )
+    return scene, SyntheticSequence(scene, [dT], n_frames=8)
+
+
+@pytest.fixture(scope="module")
+def tracked(sequence):
+    scene, seq = sequence
+    cfg = make_config(scene)
+    tracker = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0)
+    for fr in seq.frames:
+        tracker.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+    return scene, seq, tracker
+
+
+class TestCameraTrajectory:
+    def test_ate_small(self, tracked):
+        _, seq, tracker = tracked
+        est = tracker.map.poses
+        gt = np.stack([f.Tcw_gt for f in seq.frames])
+        ate = ate_rmse(est, gt, align=False)
+        assert ate < 0.05, f"ATE {ate}"
+
+    def test_rpe_small(self, tracked):
+        _, seq, tracker = tracked
+        est = tracker.map.poses
+        gt = np.stack([f.Tcw_gt for f in seq.frames])
+        rpe = rpe_camera(est, gt)
+        assert rpe["rpe_trans_mean"] < 0.02
+        assert rpe["rpe_rot_deg_mean"] < 0.2
+
+
+class TestObjectTracking:
+    def test_object_found_with_consistent_id(self, tracked):
+        _, seq, tracker = tracked
+        ids = tracker.map.track_ids()
+        assert len(ids) == 1, f"expected one tracked object, got {ids}"
+
+    def test_object_motion_accuracy(self, tracked):
+        _, seq, tracker = tracked
+        tid = tracker.map.track_ids()[0]
+        motions = tracker.map.object_motions(tid)
+        assert len(motions) >= 4
+        H_gt = seq.frames[0].box_motions[0]
+        for fid, H in motions.items():
+            err_t = np.linalg.norm(H[:3, 3] - H_gt[:3, 3])
+            assert err_t < 0.08, f"frame {fid}: t error {err_t}"
+
+    def test_object_speed(self, tracked):
+        scene, seq, tracker = tracked
+        tid = tracker.map.track_ids()[0]
+        frames_with_obj = [
+            f for f in tracker.map.frames
+            if any(o.track_id == tid and o.status for o in f.objects)
+        ]
+        H_gt = seq.frames[0].box_motions[0]
+        errs = []
+        for f in frames_with_obj:
+            ob = next(o for o in f.objects if o.track_id == tid)
+            errs.append(speed_error(ob.speed_kmh, H_gt, ob.centroid, fps=10.0))
+        # gt speed = 0.6 m/frame * 36 = 21.6 km/h; allow 15% deviation
+        assert np.mean(errs) < 3.5, f"speed errors {errs}"
+
+    def test_static_scene_has_no_objects(self):
+        scene = simple_scene(width=256, height=160, moving_box=False)
+        from vido_slam_tpu.geometry.se3 import make_se3
+
+        dT = np.asarray(make_se3(jnp.eye(3), jnp.array([0.0, 0.0, -0.3])))
+        seq = SyntheticSequence(scene, [dT], n_frames=5)
+        cfg = make_config(scene)
+        tracker = Tracker(cfg, n_bg=800, n_obj=2000, max_objects=4, seed=1)
+        for fr in seq.frames:
+            tracker.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+        assert tracker.map.track_ids() == []

@@ -1,0 +1,216 @@
+"""Synthetic RGB-D + flow + mask sequence generator for deterministic tests.
+
+The reference's offline mode reads precomputed depth/flow/mask from disk
+(demo/run_vido_slam.cc:118-122) — that seam is the natural place to inject
+ground-truth synthetic data. This module renders a world of a ground plane
+plus moving axis-aligned boxes by ray casting, producing for every frame
+exactly the inputs `TrackRGBD` consumes:
+
+  depth  (H, W)    metric depth (0 where no surface)
+  flow   (H, W, 2) forward optical flow to the next frame
+  mask   (H, W)    int32 instance labels (0 = background)
+
+plus ground-truth camera poses and per-object SE(3) world-frame motions, so
+end-to-end camera ATE and object-motion error can be asserted exactly.
+Convention: camera looks down +z, y points down (as the reference's KITTI/
+KAIST setups); world frame = first camera frame.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vido_slam_tpu.geometry.camera import Camera
+from vido_slam_tpu.geometry.se3 import inverse_se3, make_se3, transform_points
+from vido_slam_tpu.geometry.so3 import exp_so3
+
+
+class Box(NamedTuple):
+    """Axis-aligned box in its own object frame, moved by a per-frame pose."""
+
+    half_extent: jnp.ndarray  # (3,)
+    label: int                # instance label (> 0)
+    # pose of object frame in world at t=0 and per-step world-frame motion
+    pose0: jnp.ndarray        # (4, 4) object->world
+    motion: jnp.ndarray       # (4, 4) world-frame per-step rigid motion H
+
+
+class SyntheticScene(NamedTuple):
+    cam: Camera
+    ground_y: float           # y of the ground plane (y down: positive below)
+    boxes: Tuple[Box, ...]
+
+
+def _ray_dirs(cam: Camera) -> jnp.ndarray:
+    """(H, W, 3) unit-free ray directions in camera frame (z=1)."""
+    H, W = cam.height, cam.width
+    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    x = (uu - cam.cx) / cam.fx
+    y = (vv - cam.cy) / cam.fy
+    return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+
+
+def _plane_depth(Tcw: jnp.ndarray, dirs: jnp.ndarray, ground_y: float) -> jnp.ndarray:
+    """Ray-plane intersection: world plane y = ground_y. Returns z-depth."""
+    Twc = inverse_se3(Tcw)
+    R, t = Twc[:3, :3], Twc[:3, 3]
+    # world ray: origin t, direction R @ d; solve (t + s*Rd).y = ground_y
+    dy = jnp.einsum("j,hwj->hw", R[1], dirs)
+    s = (ground_y - t[1]) / jnp.where(jnp.abs(dy) < 1e-9, 1e-9, dy)
+    valid = (s > 0.1) & (dy > 1e-6)  # plane must be below/ahead
+    return jnp.where(valid, s, jnp.inf)  # s is z-depth since dirs.z == 1
+
+
+def _box_depth(
+    T_ow: jnp.ndarray, Tcw: jnp.ndarray, dirs: jnp.ndarray, half: jnp.ndarray
+) -> jnp.ndarray:
+    """Ray-AABB intersection in the object frame. Returns z-depth map."""
+    Twc = inverse_se3(Tcw)
+    T_oc = inverse_se3(T_ow) @ Twc  # camera->object
+    R, t = T_oc[:3, :3], T_oc[:3, 3]
+    d = jnp.einsum("ij,hwj->hwi", R, dirs)
+    o = t
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    t0 = (-half - o) * inv_d
+    t1 = (half - o) * inv_d
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tmax > jnp.maximum(tmin, 0.1))
+    return jnp.where(hit, tmin, jnp.inf)
+
+
+def render_frame(
+    scene: SyntheticScene, Tcw: jnp.ndarray, box_poses: Sequence[jnp.ndarray]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (depth (H,W), mask (H,W) int32) for one frame."""
+    dirs = _ray_dirs(scene.cam)
+    depth = _plane_depth(Tcw, dirs, scene.ground_y)
+    mask = jnp.zeros(depth.shape, jnp.int32)
+    for box, T_ow in zip(scene.boxes, box_poses):
+        zb = _box_depth(T_ow, Tcw, dirs, box.half_extent)
+        closer = zb < depth
+        depth = jnp.where(closer, zb, depth)
+        mask = jnp.where(closer, box.label, mask)
+    depth = jnp.where(jnp.isinf(depth), 0.0, depth)
+    return depth, mask
+
+
+def flow_between(
+    scene: SyntheticScene,
+    Tcw_a: jnp.ndarray,
+    Tcw_b: jnp.ndarray,
+    depth_a: jnp.ndarray,
+    mask_a: jnp.ndarray,
+    box_motions: Sequence[jnp.ndarray],
+) -> jnp.ndarray:
+    """Forward flow a->b: unproject with depth_a, move object points by their
+    world-frame motion H, project into frame b."""
+    cam = scene.cam
+    dirs = _ray_dirs(cam)
+    pc = dirs * depth_a[..., None]
+    Twc = inverse_se3(Tcw_a)
+    pw = jnp.einsum("ij,hwj->hwi", Twc[:3, :3], pc) + Twc[:3, 3]
+    for box, H in zip(scene.boxes, box_motions):
+        moved = jnp.einsum("ij,hwj->hwi", H[:3, :3], pw) + H[:3, 3]
+        pw = jnp.where((mask_a == box.label)[..., None], moved, pw)
+    pb = jnp.einsum("ij,hwj->hwi", Tcw_b[:3, :3], pw) + Tcw_b[:3, 3]
+    uvb = cam.project(pb)
+    H_, W_ = depth_a.shape
+    uu = jax.lax.broadcasted_iota(jnp.float32, (H_, W_), 1)
+    vv = jax.lax.broadcasted_iota(jnp.float32, (H_, W_), 0)
+    flow = uvb - jnp.stack([uu, vv], axis=-1)
+    return jnp.where((depth_a > 0)[..., None], flow, 0.0)
+
+
+class SyntheticFrame(NamedTuple):
+    depth: np.ndarray
+    flow: np.ndarray
+    mask: np.ndarray
+    Tcw_gt: np.ndarray
+    box_poses: List[np.ndarray]    # object->world per box
+    box_motions: List[np.ndarray]  # world-frame motion to the NEXT frame
+
+
+class SyntheticSequence:
+    """Renders a full sequence with ground truth."""
+
+    def __init__(
+        self,
+        scene: SyntheticScene,
+        cam_motions: Sequence[np.ndarray],  # per-step camera motion in camera frame
+        n_frames: int,
+    ):
+        self.scene = scene
+        self.frames: List[SyntheticFrame] = []
+
+        # pose chains in float64 numpy (host): avoids accumulating f32/bf16
+        # rounding over long sequences
+        Tcw = np.eye(4)
+        box_poses = [np.asarray(b.pose0, np.float64) for b in scene.boxes]
+        Tcws = []
+        poses_t = []
+        for t in range(n_frames):
+            Tcws.append(jnp.asarray(Tcw, jnp.float32))
+            poses_t.append([jnp.asarray(p, jnp.float32) for p in box_poses])
+            dT = np.asarray(cam_motions[min(t, len(cam_motions) - 1)], np.float64)
+            Tcw = dT @ Tcw
+            box_poses = [
+                np.asarray(b.motion, np.float64) @ p
+                for b, p in zip(scene.boxes, box_poses)
+            ]
+
+        for t in range(n_frames):
+            depth, mask = render_frame(scene, Tcws[t], poses_t[t])
+            if t + 1 < n_frames:
+                motions = [b.motion for b in scene.boxes]
+                flow = flow_between(
+                    scene, Tcws[t], Tcws[t + 1], depth, mask, motions
+                )
+            else:
+                flow = jnp.zeros(depth.shape + (2,), jnp.float32)
+            self.frames.append(
+                SyntheticFrame(
+                    depth=np.asarray(depth),
+                    flow=np.asarray(flow),
+                    mask=np.asarray(mask),
+                    Tcw_gt=np.asarray(Tcws[t]),
+                    box_poses=[np.asarray(p) for p in poses_t[t]],
+                    box_motions=[np.asarray(b.motion) for b in scene.boxes],
+                )
+            )
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __getitem__(self, i) -> SyntheticFrame:
+        return self.frames[i]
+
+
+def simple_scene(
+    width: int = 256,
+    height: int = 160,
+    moving_box: bool = True,
+    box_speed: float = 0.8,
+) -> SyntheticScene:
+    """A canned test scene: ground plane + one (optionally moving) box."""
+    cam = Camera.create(
+        fx=200.0, fy=200.0, cx=width / 2, cy=height / 2,
+        width=width, height=height, bf=40.0,
+    )
+    motion = (
+        make_se3(exp_so3(jnp.zeros(3)), jnp.array([box_speed, 0.0, 0.0]))
+        if moving_box
+        else jnp.eye(4)
+    )
+    box = Box(
+        half_extent=jnp.array([2.0, 1.5, 2.0]),
+        label=2,
+        pose0=make_se3(jnp.eye(3), jnp.array([-4.0, 0.0, 12.0])),
+        motion=motion,
+    )
+    return SyntheticScene(cam=cam, ground_y=1.5, boxes=(box,))
