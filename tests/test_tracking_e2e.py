@@ -25,6 +25,7 @@ def make_config(scene):
             "ThDepthOBJ": 60.0,
             "MaxTrackPointBG": 1200,
             "MaxTrackPointOBJ": 800,
+            "WINDOW_SIZE": 6,
         }
     )
 

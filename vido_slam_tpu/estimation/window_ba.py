@@ -1,0 +1,255 @@
+"""Sliding-window bundle adjustment — the TPU replacement for
+Optimizer::PartialBatchOptimization (reference vido_slam/src/Optimizer.cc:43-1228).
+
+Reference graph (STATIC_ONLY=true, the per-frame window BA):
+  - pose vertices Twc_i for the W window frames (g2o VertexSE3, estimates are
+    camera->world, Optimizer.cc:223-229 with vmCameraPose = inv(mTcw));
+  - odometry EdgeSE3 between consecutive poses, measurement = the camera
+    motion measured at tracking time (vmRigidMotion[i-1][0] =
+    inv(mVelocity)); information I/sigma2_cam, sigma2_cam = 1e-4; Huber 0.01
+    (Optimizer.cc:190, 214, 248-260);
+  - static point vertices X_k (world) for tracklets of length >= 3
+    (FeaLengthThresSta=3, Optimizer.cc:211,295) with EdgeSE3PointXYZ
+    measurement = camera-frame backprojection Xc; information I/16
+    (sigma2_3d_sta), Huber 0.01 (Optimizer.cc:291-354).
+
+TPU design: fixed shapes (W poses, P point tracks, (W, P) observation mask);
+Levenberg-Marquardt with re-linearisation each iteration; the point blocks
+are eliminated with a batched sparse Schur complement (3x3 block-diagonal
+H_pp inverted in closed form, reduced camera system solved dense — a 6W x 6W
+Cholesky is tiny and MXU-friendly, replacing g2o's CSparse). Per-edge
+Jacobians come from vmapped `jax.jacfwd` of the local 6/3-dim perturbations,
+so the analytic structure is exact by construction. Gauge: the first window
+pose is frozen via a large diagonal prior (the reference relies on an
+EdgeSE3Prior for the first window only, Optimizer.cc:230-238).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vido_slam_tpu.estimation.lm import huber_weight
+from vido_slam_tpu.geometry.se3 import (
+    compose,
+    exp_se3,
+    inverse_se3,
+    log_se3,
+)
+
+_HI = lax.Precision.HIGHEST
+
+# Reference constants (Optimizer.cc:190-196, 214)
+SIGMA2_CAM = 1e-4
+SIGMA2_3D_STA = 16.0
+SIGMA2_OBJ_SMO = 0.1
+SIGMA2_OBJ = 20.0
+SIGMA2_3D_DYN = 16.0
+DELTA_HUBER = 0.01
+GAUGE_WEIGHT = 1e10
+
+
+class WindowBAResult(NamedTuple):
+    Twc: jnp.ndarray      # (W, 4, 4) optimized poses (camera->world)
+    points: jnp.ndarray   # (P, 3) optimized world points
+    cost: jnp.ndarray
+    num_iters: jnp.ndarray
+
+
+def _point_edge_residual(delta_pose, delta_pt, Twc, X, meas):
+    """r = (Twc exp(dp))^-1 (X + dx) - meas, 3-dim."""
+    T = compose(Twc, exp_se3(delta_pose))
+    Tcw = inverse_se3(T)
+    return Tcw[:3, :3] @ (X + delta_pt) + Tcw[:3, 3] - meas
+
+
+def _odom_edge_residual(delta_prev, delta_cur, T_prev, T_cur, M):
+    """r = log(M^-1 (T_prev exp(dp))^-1 (T_cur exp(dc))), 6-dim."""
+    A = compose(T_prev, exp_se3(delta_prev))
+    B = compose(T_cur, exp_se3(delta_cur))
+    return log_se3(compose(inverse_se3(M), compose(inverse_se3(A), B)))
+
+
+_point_jac = jax.jacfwd(_point_edge_residual, argnums=(0, 1))
+_odom_jac = jax.jacfwd(_odom_edge_residual, argnums=(0, 1))
+
+_Z6 = jnp.zeros(6)
+_Z3 = jnp.zeros(3)
+
+
+def _linearize(Twc, X, obs, obs_valid, odom, odom_valid):
+    """Residuals, robust weights and per-edge Jacobians at current estimate."""
+    # --- point observation edges, vmapped over (W, P) ---
+    r_pt, Jc_pt, Jp_pt = _vmap_pt(Twc, X, obs)
+
+    w_info_pt = 1.0 / SIGMA2_3D_STA
+    chi2_pt = jnp.sum(r_pt * r_pt, axis=-1) * w_info_pt
+    w_pt = huber_weight(chi2_pt, DELTA_HUBER) * w_info_pt
+    w_pt = jnp.where(obs_valid, w_pt, 0.0)
+
+    # --- odometry edges, vmapped over (W-1,) ---
+    def od_edge(Tp, Tc, M):
+        r = _odom_edge_residual(_Z6, _Z6, Tp, Tc, M)
+        Ja, Jb = _odom_jac(_Z6, _Z6, Tp, Tc, M)
+        return r, Ja, Jb
+
+    r_od, Ja_od, Jb_od = jax.vmap(od_edge)(Twc[:-1], Twc[1:], odom)
+    w_info_od = 1.0 / SIGMA2_CAM
+    chi2_od = jnp.sum(r_od * r_od, axis=-1) * w_info_od
+    w_od = huber_weight(chi2_od, DELTA_HUBER) * w_info_od
+    w_od = jnp.where(odom_valid, w_od, 0.0)
+
+    cost = jnp.sum(_huber_rho(chi2_pt) * obs_valid) + jnp.sum(
+        _huber_rho(chi2_od) * odom_valid
+    )
+    return (r_pt, Jc_pt, Jp_pt, w_pt), (r_od, Ja_od, Jb_od, w_od), cost
+
+
+def _vmap_pt(Twc, X, obs):
+    def pt_edge(T, x, m):
+        r = _point_edge_residual(_Z6, _Z3, T, x, m)
+        Jc, Jp = _point_jac(_Z6, _Z3, T, x, m)
+        return r, Jc, Jp
+
+    inner = jax.vmap(pt_edge, in_axes=(None, 0, 0))     # over points
+    outer = jax.vmap(inner, in_axes=(0, None, 0))       # over frames
+    return outer(Twc, X, obs)
+
+
+def _huber_rho(chi2):
+    d2 = DELTA_HUBER * DELTA_HUBER
+    return jnp.where(
+        chi2 <= d2, chi2, 2.0 * DELTA_HUBER * jnp.sqrt(jnp.maximum(chi2, 1e-20)) - d2
+    )
+
+
+def _cost_only(Twc, X, obs, obs_valid, odom, odom_valid):
+    Tcw = inverse_se3(Twc)
+    pc = jnp.einsum("wij,pj->wpi", Tcw[:, :3, :3], X, precision=_HI) + Tcw[:, None, :3, 3]
+    r_pt = pc - obs
+    chi2_pt = jnp.sum(r_pt * r_pt, axis=-1) / SIGMA2_3D_STA
+    rel = compose(inverse_se3(Twc[:-1]), Twc[1:])
+    r_od = log_se3(compose(inverse_se3(odom), rel))
+    chi2_od = jnp.sum(r_od * r_od, axis=-1) / SIGMA2_CAM
+    return jnp.sum(_huber_rho(chi2_pt) * obs_valid) + jnp.sum(
+        _huber_rho(chi2_od) * odom_valid
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def solve_window_ba(
+    Twc0: jnp.ndarray,       # (W, 4, 4) initial poses (camera->world)
+    odom: jnp.ndarray,       # (W-1, 4, 4) measured relative motions
+    odom_valid: jnp.ndarray,  # (W-1,) bool
+    X0: jnp.ndarray,         # (P, 3) initial world points
+    obs: jnp.ndarray,        # (W, P, 3) camera-frame measurements
+    obs_valid: jnp.ndarray,  # (W, P) bool
+    point_valid: jnp.ndarray,  # (P,) bool — track participates
+    frame_valid: jnp.ndarray = None,  # (W,) bool — False for front padding
+    *,
+    max_iters: int = 20,
+) -> WindowBAResult:
+    W = Twc0.shape[0]
+    P = X0.shape[0]
+    D = 6 * W
+    obs_valid = obs_valid & point_valid[None, :]
+    if frame_valid is None:
+        frame_valid = jnp.ones(W, bool)
+    # gauge: freeze every pad pose plus the first real pose
+    first_real = jnp.argmax(frame_valid)
+    gauge_frames = ~frame_valid | (jnp.arange(W) == first_real)
+    gauge_diag = jnp.repeat(gauge_frames.astype(jnp.float32) * GAUGE_WEIGHT, 6)
+
+    def normal_system(Twc, X, lam):
+        (r_pt, Jc_pt, Jp_pt, w_pt), (r_od, Ja_od, Jb_od, w_od), cost = _linearize(
+            Twc, X, obs, obs_valid, odom, odom_valid
+        )
+        # ---- camera-camera blocks (W, W, 6, 6) ----
+        Hcc = jnp.zeros((W, W, 6, 6))
+        # point-obs diagonal contributions
+        JtJ_c = jnp.einsum("wpij,wp,wpik->wjk", Jc_pt, w_pt, Jc_pt, precision=_HI)
+        ii = jnp.arange(W)
+        Hcc = Hcc.at[ii, ii].add(JtJ_c)
+        # odometry contributions
+        Haa = jnp.einsum("eij,e,eik->ejk", Ja_od, w_od, Ja_od, precision=_HI)
+        Hab = jnp.einsum("eij,e,eik->ejk", Ja_od, w_od, Jb_od, precision=_HI)
+        Hbb = jnp.einsum("eij,e,eik->ejk", Jb_od, w_od, Jb_od, precision=_HI)
+        e0 = jnp.arange(W - 1)
+        Hcc = Hcc.at[e0, e0].add(Haa)
+        Hcc = Hcc.at[e0, e0 + 1].add(Hab)
+        Hcc = Hcc.at[e0 + 1, e0].add(jnp.swapaxes(Hab, -1, -2))
+        Hcc = Hcc.at[e0 + 1, e0 + 1].add(Hbb)
+        Hcc_f = Hcc.transpose(0, 2, 1, 3).reshape(D, D)
+        Hcc_f = Hcc_f + jnp.diag(gauge_diag)
+        # LM damping
+        Hcc_f = Hcc_f + lam * jnp.eye(D)
+
+        # ---- point blocks ----
+        Hpp = jnp.einsum("wpij,wp,wpik->pjk", Jp_pt, w_pt, Jp_pt, precision=_HI)
+        Hpp = Hpp + lam * jnp.eye(3)[None]
+        # guard: unobserved points get identity (delta forced to 0 by zero rhs)
+        Hpp = jnp.where(
+            point_valid[:, None, None], Hpp, jnp.eye(3)[None]
+        )
+        Hpp_inv = jnp.linalg.inv(Hpp)
+
+        # ---- cross blocks: (P, W, 6, 3) -> (P, D, 3) ----
+        Hcp = jnp.einsum("wpij,wp,wpik->pwjk", Jc_pt, w_pt, Jp_pt, precision=_HI)
+        Hcp_f = Hcp.reshape(P, D, 3)
+
+        # ---- gradients ----
+        g_c = jnp.einsum("wpij,wp,wpi->wj", Jc_pt, w_pt, r_pt, precision=_HI)
+        g_c = g_c.at[:-1].add(
+            jnp.einsum("eij,e,ei->ej", Ja_od, w_od, r_od, precision=_HI)
+        )
+        g_c = g_c.at[1:].add(
+            jnp.einsum("eij,e,ei->ej", Jb_od, w_od, r_od, precision=_HI)
+        )
+        g_c = g_c.reshape(D)
+        g_p = jnp.einsum("wpij,wp,wpi->pj", Jp_pt, w_pt, r_pt, precision=_HI)
+
+        # ---- Schur complement ----
+        M = jnp.einsum("pdi,pij->pdj", Hcp_f, Hpp_inv, precision=_HI)  # (P, D, 3)
+        S = Hcc_f - jnp.einsum("pdi,pei->de", M, Hcp_f, precision=_HI)
+        rhs = g_c - jnp.einsum("pdi,pi->d", M, g_p, precision=_HI)
+        return S, rhs, Hpp_inv, Hcp_f, g_p, cost
+
+    def body(state):
+        it, Twc, X, lam, nu, cost, done = state
+        S, rhs, Hpp_inv, Hcp_f, g_p, _ = normal_system(Twc, X, lam)
+        L = jnp.linalg.cholesky(S)
+        y = jax.scipy.linalg.solve_triangular(L, -rhs, lower=True)
+        dc = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        bad = jnp.any(jnp.isnan(dc))
+        dc = jnp.where(bad, jnp.zeros_like(dc), dc)
+        dp = jnp.einsum(
+            "pij,pj->pi", Hpp_inv, -(g_p + jnp.einsum("pdi,d->pi", Hcp_f, dc, precision=_HI)),
+            precision=_HI,
+        )
+        dp = jnp.where(point_valid[:, None], dp, 0.0)
+        Twc_new = compose(Twc, exp_se3(dc.reshape(W, 6)))
+        X_new = X + dp
+        cost_new = _cost_only(Twc_new, X_new, obs, obs_valid, odom, odom_valid)
+        accept = (cost_new < cost) & ~bad
+        lam_new = jnp.where(accept, lam * (1.0 / 3.0), lam * nu)
+        nu_new = jnp.where(accept, 2.0, nu * 2.0)
+        Twc_next = jnp.where(accept, Twc_new, Twc)
+        X_next = jnp.where(accept, X_new, X)
+        cost_next = jnp.where(accept, cost_new, cost)
+        rel_impr = (cost - cost_next) / jnp.maximum(cost, 1e-20)
+        done_new = accept & (rel_impr < 1e-6)
+        return (it + 1, Twc_next, X_next, lam_new, nu_new, cost_next, done_new)
+
+    def cond(state):
+        it, _, _, _, _, _, done = state
+        return (it < max_iters) & ~done
+
+    cost0 = _cost_only(Twc0, X0, obs, obs_valid, odom, odom_valid)
+    init = (jnp.int32(0), Twc0, X0, jnp.float32(1e-4), jnp.float32(2.0),
+            cost0, jnp.bool_(False))
+    it, Twc, X, lam, nu, cost, done = lax.while_loop(cond, body, init)
+    return WindowBAResult(Twc=Twc, points=X, cost=cost, num_iters=it)

@@ -74,18 +74,24 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
     """Logarithm map: rotation matrix (..., 3, 3) -> rotation vector (..., 3).
 
-    Uses the trace formula with a quaternion-free fallback-safe clamp; accurate
-    away from theta = pi (the SLAM pipeline only sees incremental rotations).
+    Differentiation-safe at theta -> 0 (needed because BA Jacobians are taken
+    with jacfwd through pose-graph residuals whose value is ~0 at the
+    linearisation point): theta comes from atan2(sin, cos) instead of arccos
+    (whose derivative blows up at cos=1), and the theta/sin(theta) factor is
+    Taylor-guarded with the double-where trick. Accurate away from theta=pi
+    (the SLAM pipeline only sees incremental rotations).
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     w_hat = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    sin_theta = jnp.sin(theta)
-    small = theta < 1e-6
-    # w = theta/sin(theta) * w_hat; near 0 the ratio -> 1 + theta^2/6
-    sin_safe = jnp.where(small, jnp.ones_like(sin_theta), sin_theta)
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / sin_safe)
+    s2 = jnp.sum(w_hat * w_hat, axis=-1)            # = sin(theta)^2
+    small = s2 < 1e-12
+    s2_safe = jnp.where(small, jnp.ones_like(s2), s2)
+    sin_theta = jnp.sqrt(s2_safe)
+    theta = jnp.arctan2(sin_theta, cos_theta)
+    scale_exact = theta / sin_theta
+    scale_taylor = 1.0 + s2 / 6.0  # theta/sin(theta) ~ 1 + theta^2/6
+    scale = jnp.where(small, scale_taylor, scale_exact)
     return scale[..., None] * w_hat
 
 

@@ -56,6 +56,9 @@ class FrameRecord:
     obj_3d: np.ndarray                 # (N, 3) world points
     objects: List[ObjectObservation] = dataclasses.field(default_factory=list)
     timing: Dict[str, float] = dataclasses.field(default_factory=dict)
+    # measured camera motion Twc_{t-1}^-1 Twc_t at tracking time (None for
+    # frame 0); the window-BA odometry measurement (vmRigidMotion[i][0])
+    cam_motion: Optional[np.ndarray] = None
 
 
 class SlamMap:

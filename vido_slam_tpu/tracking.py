@@ -110,6 +110,9 @@ class Tracker:
         n_obj: int = 4000,
         max_objects: int = 8,
         seed: int = 0,
+        local_ba: bool = True,
+        ba_max_points: int = 1000,
+        ba_iters: int = 15,
     ):
         self.cfg = config
         c = config.camera
@@ -125,6 +128,9 @@ class Tracker:
         self.object_tracker = ObjectTracker()
         self.state: Optional[TrackState] = None
         self.frame_id = 0
+        self.local_ba = local_ba
+        self.ba_max_points = ba_max_points
+        self.ba_iters = ba_iters
         # host mirror: track_id -> last world-frame motion (for motion model)
         self._last_motion: dict[int, np.ndarray] = {}
 
@@ -317,6 +323,7 @@ class Tracker:
         self._record_frame(
             Tcw, renewed_stat, stat_new, renewed_obj, point_labels, obj_new,
             obs_list, Tcw_gt, timestamp, timing,
+            cam_motion=np.asarray(inverse_se3(velocity)),
         )
         self.state = TrackState(
             stat=renewed_stat,
@@ -326,12 +333,60 @@ class Tracker:
             has_velocity=jnp.bool_(True),
         )
         self.frame_id += 1
+
+        # -- 8. sliding-window BA (PartialBatchOptimization, every frame) --
+        if self.local_ba and len(self.map) >= 3:
+            t0 = time.perf_counter()
+            Tcw = self._run_window_ba()
+            self.map.lba_time.append(time.perf_counter() - t0)
         return np.asarray(Tcw)
+
+    # ------------------------------------------------------------------
+    def _run_window_ba(self):
+        """Assemble + solve the static window BA and write results back
+        (reference Tracking.cc:1431-1447 -> Optimizer.cc:43-1228; partial
+        write-back semantics of Optimizer.cc:1056-1142)."""
+        from vido_slam_tpu.estimation.assembly import assemble_static_window
+        from vido_slam_tpu.estimation.window_ba import solve_window_ba
+
+        W = self.cfg.system.window_size
+        prob = assemble_static_window(self.map, self.cam, W, self.ba_max_points)
+        frame_valid = np.zeros(W, bool)
+        frame_valid[prob.pad:] = True
+        res = solve_window_ba(
+            jnp.asarray(prob.Twc0),
+            jnp.asarray(prob.odom),
+            jnp.asarray(prob.odom_valid),
+            jnp.asarray(prob.X0),
+            jnp.asarray(prob.obs),
+            jnp.asarray(prob.obs_valid),
+            jnp.asarray(prob.point_valid),
+            jnp.asarray(frame_valid),
+            max_iters=self.ba_iters,
+        )
+        Twc = np.asarray(res.Twc)
+        X = np.asarray(res.points)
+        # write back poses
+        recs = self.map.frames[len(self.map) - (W - prob.pad):]
+        for i, rec in enumerate(recs):
+            rec.Tcw = np.linalg.inv(Twc[prob.pad + i]).astype(np.float32)
+        # write back optimized points to every observation slot
+        pv = np.asarray(prob.point_valid)
+        for wi in range(prob.pad, W):
+            sl = prob.slots[wi]
+            m = (sl >= 0) & pv
+            p3d = np.array(recs[wi - prob.pad].stat_3d)  # asarray views of
+            p3d[sl[m]] = X[m]                            # jax arrays are RO
+            recs[wi - prob.pad].stat_3d = p3d
+        # current pose feeds the next frame's tracking
+        Tcw_cur = jnp.asarray(recs[-1].Tcw)
+        self.state = self.state._replace(Tcw=Tcw_cur)
+        return Tcw_cur
 
     # ------------------------------------------------------------------
     def _record_frame(
         self, Tcw, stat, stat_new, obj, obj_label, obj_new,
-        objects, Tcw_gt, timestamp, timing,
+        objects, Tcw_gt, timestamp, timing, cam_motion=None,
     ):
         stat_3d = unproject_to_world(self.cam, stat.uv, stat.depth, Tcw)
         obj_3d = unproject_to_world(self.cam, obj.uv, obj.depth, Tcw)
@@ -355,5 +410,6 @@ class Tracker:
                 obj_3d=np.asarray(obj_3d),
                 objects=objects,
                 timing=timing,
+                cam_motion=cam_motion,
             )
         )
