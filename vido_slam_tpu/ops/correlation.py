@@ -1,0 +1,140 @@
+"""Cost-volume correlation — the LiteFlowNet CUDA kernel rebuilt for TPU.
+
+Reference semantics (src/thirdparty/flow_net/src/correlation/correlation.py:
+kernel_Correlation_updateOutput + _FunctionCorrelation.forward):
+  input  f1, f2: (N, C, H, W), zero-padded by 3*stride;
+  output: (N, 49, ceil(H/s), ceil(W/s)) with channel (p+3)*7+(o+3) holding
+      mean_c f1[y, x, c] * f2[y + p*s, x + o*s, c]
+  evaluated at strided positions (x, y) = (i*s, j*s).
+
+Here in NHWC. Two implementations:
+  - `correlation`: pure-XLA formulation as 49 shifted elementwise products —
+    XLA fuses the shifts/multiplies/reductions into a tight loop over VMEM
+    tiles, which is already near bandwidth-bound on TPU;
+  - `correlation_pallas`: explicit Pallas kernel that keeps the f1 tile and
+    the haloed f2 tile resident in VMEM across all 49 taps (one HBM read per
+    input element instead of up to 49) — used on TPU for the hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """x (N, H, W, C) shifted so out[y, x] = x[y+dy, x+dx], zero-padded."""
+    N, H, W, C = x.shape
+    py0, py1 = max(0, -dy), max(0, dy)
+    px0, px1 = max(0, -dx), max(0, dx)
+    xp = jnp.pad(x, ((0, 0), (py0, py1), (px0, px1), (0, 0)))
+    return lax.dynamic_slice(
+        xp, (0, py0 + dy, px0 + dx, 0), (N, H, W, C)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def correlation(f1: jnp.ndarray, f2: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+    """Cost volume (N, ceil(H/s), ceil(W/s), 49), NHWC, XLA formulation."""
+    N, H, W, C = f1.shape
+    f1s = f1[:, ::stride, ::stride, :]
+    taps = []
+    for p in range(-3, 4):
+        for o in range(-3, 4):
+            sh = _shift2d(f2, p * stride, o * stride)
+            f2s = sh[:, ::stride, ::stride, :]
+            taps.append(jnp.mean(f1s * f2s, axis=-1))
+    return jnp.stack(taps, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+#
+# Row-tiled with the 3-tile halo pattern: each grid step sees its own f2 row
+# tile plus the previous and next tiles (index maps clamp at the borders and
+# out-of-image rows are zero-masked in-kernel, reproducing the CUDA kernel's
+# zero padding). All 49 displacement products are computed from VMEM-resident
+# tiles — one HBM read per f2 element instead of up to 49.
+
+def _corr_kernel(f1_ref, f2m_ref, f2c_ref, f2p_ref, out_ref, *, stride: int,
+                 row_tile_rows: int):
+    s = stride
+    TH = row_tile_rows
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    H = n_tiles * TH
+
+    f1 = f1_ref[0]                                  # (TH, W, C)
+    f2all = jnp.concatenate(
+        [f2m_ref[0], f2c_ref[0], f2p_ref[0]], axis=0
+    )                                               # (3*TH, W, C)
+    W = f1.shape[1]
+
+    # zero out rows that fall outside the image (border tiles read clamped
+    # duplicates through the index map)
+    row_global = (
+        jax.lax.broadcasted_iota(jnp.int32, (3 * TH, 1), 0)[:, 0]
+        + (i - 1) * TH
+    )
+    row_ok = (row_global >= 0) & (row_global < H)
+    f2all = f2all * row_ok[:, None, None].astype(f1.dtype)
+
+    # zero-pad x by 3s so x-shifts become static slices
+    f2all = jnp.pad(f2all, ((0, 0), (3 * s, 3 * s), (0, 0)))
+
+    f1s = f1[::s, ::s, :]
+    inv_c = 1.0 / f1.shape[-1]
+    taps = []
+    for p in range(-3, 4):
+        for o in range(-3, 4):
+            rows = jax.lax.slice_in_dim(f2all, TH + p * s, TH + p * s + TH, axis=0)
+            cols = jax.lax.slice_in_dim(rows, 3 * s + o * s, 3 * s + o * s + W, axis=1)
+            f2s = cols[::s, ::s, :]
+            taps.append(jnp.sum(f1s * f2s, axis=-1) * inv_c)
+    out_ref[0] = jnp.stack(taps, axis=-1)
+
+
+def correlation_pallas(
+    f1: jnp.ndarray, f2: jnp.ndarray, stride: int = 1, row_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas cost volume; falls back to XLA on awkward shapes."""
+    N, H, W, C = f1.shape
+    s = stride
+    TH = row_tile * s
+    if H % TH != 0 or W % s != 0 or TH < 3 * s:
+        return correlation(f1, f2, stride)
+    Ho, Wo = H // s, W // s
+    n_tiles = H // TH
+
+    grid = (N, n_tiles)
+    clamp = lambda v, hi: jnp.clip(v, 0, hi)  # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_corr_kernel, stride=stride, row_tile_rows=TH),
+        out_shape=jax.ShapeDtypeStruct((N, Ho, Wo, 49), f1.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TH, W, C), lambda n, i: (n, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, W, C),
+                         lambda n, i: (n, clamp(i - 1, n_tiles - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, W, C), lambda n, i: (n, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, W, C),
+                         lambda n, i: (n, clamp(i + 1, n_tiles - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH // s, Wo, 49), lambda n, i: (n, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(f1, f2, f2, f2)
+    return out
