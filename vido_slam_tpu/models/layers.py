@@ -1,0 +1,145 @@
+"""Functional NN building blocks, NHWC, with torch-parity semantics.
+
+All models in this package are pure functions over flat parameter dicts whose
+keys EQUAL the reference torch checkpoints' state_dict keys (values stored in
+TPU-friendly layouts: conv kernels HWIO). Loading a reference checkpoint is
+then a pure layout transform (`convert_state_dict`) with no renaming logic —
+the parity surface is explicit.
+
+Conventions:
+  conv2d          == torch.nn.Conv2d (cross-correlation, zero padding)
+  deconv_grouped  == torch.nn.ConvTranspose2d(groups=C) via lhs-dilated conv
+  batch_norm      == torch.nn.BatchNorm2d in eval mode
+  max_pool / relu == the obvious ones
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Params = Dict[str, jnp.ndarray]
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,              # (kh, kw, cin/groups, cout) HWIO
+    b: Optional[jnp.ndarray] = None,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, Tuple[int, int]] = 0,
+    groups: int = 1,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def deconv_grouped(
+    x: jnp.ndarray,
+    w: jnp.ndarray,   # (kh, kw, 1, C) HWIO — depthwise transpose kernel
+    stride: int = 2,
+    padding: int = 1,
+) -> jnp.ndarray:
+    """torch.nn.ConvTranspose2d(C, C, k, stride, padding, groups=C, bias=False).
+
+    Implemented as an lhs-dilated depthwise convolution with the kernel
+    spatially flipped (transpose conv applies the kernel un-flipped, a
+    correlation-style conv needs the flip)."""
+    k = w.shape[0]
+    wf = w[::-1, ::-1]
+    pad = k - 1 - padding
+    C = x.shape[-1]
+    return lax.conv_general_dilated(
+        x,
+        wf,
+        window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    )
+
+
+def batch_norm(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    inv = gamma * lax.rsqrt(var + eps)
+    return x * inv + (beta - mean * inv)
+
+
+def max_pool(x: jnp.ndarray, k: int = 3, stride: int = 2, padding: int = 1) -> jnp.ndarray:
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=[(0, 0), (padding, padding), (padding, padding), (0, 0)],
+    )
+
+
+def leaky_relu(x: jnp.ndarray, slope: float = 0.1) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(x, 0)
+
+
+def unfold_channels(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """torch.nn.functional.unfold on a single-channel NHWC map: returns
+    (N, H, W, k*k) where channel (dy+r)*k+(dx+r) holds x[y+dy, x+dx]
+    (zero padded), r = (k-1)//2 — matching unfold's row-major patch order."""
+    assert x.shape[-1] == 1
+    r = (k - 1) // 2
+    N, H, W, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+    taps = []
+    for dy in range(k):
+        for dx in range(k):
+            taps.append(lax.dynamic_slice(xp, (0, dy, dx, 0), (N, H, W, 1))[..., 0])
+    return jnp.stack(taps, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def convert_tensor(key: str, t) -> np.ndarray:
+    """torch tensor -> our layout. Conv weights OIHW -> HWIO; ConvTranspose
+    weights IOHW (torch layout, with groups folded in O) -> HWIO."""
+    a = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    if a.ndim == 4:
+        if "Upflow" in key or "Upcorr" in key or key.endswith("deconv.weight"):
+            # torch ConvTranspose2d weight: (in, out/groups, kh, kw); for the
+            # depthwise case in==C, out/groups==1 -> (kh, kw, 1, C)
+            return a.transpose(2, 3, 1, 0)
+        return a.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    return a
+
+
+def convert_state_dict(sd: dict) -> Params:
+    return {k: jnp.asarray(convert_tensor(k, v)) for k, v in sd.items()}
