@@ -133,11 +133,12 @@ def convert_tensor(key: str, t) -> np.ndarray:
     weights IOHW (torch layout, with groups folded in O) -> HWIO."""
     a = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
     if a.ndim == 4:
-        if "Upflow" in key or "Upcorr" in key or key.endswith("deconv.weight"):
-            # torch ConvTranspose2d weight: (in, out/groups, kh, kw); for the
-            # depthwise case in==C, out/groups==1 -> (kh, kw, 1, C)
-            return a.transpose(2, 3, 1, 0)
-        return a.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        # Conv2d OIHW -> HWIO. ConvTranspose2d is (in, out/groups, kh, kw);
+        # the same transpose yields (kh, kw, out/groups, in), which is what
+        # deconv_grouped/_dense_deconv2x consume.
+        return a.transpose(2, 3, 1, 0)
+    if a.ndim == 2 and key.endswith("weight"):
+        return a.T  # torch Linear (out, in) -> (in, out) for x @ W
     return a
 
 
