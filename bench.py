@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: fused 3-net perception + tracking + window BA,
+KAIST realtime resolution (640x192), one TPU chip.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the north-star 30 FPS end-to-end (BASELINE.md; the reference
+publishes no numbers — its Mask R-CNN X-101 alone is 0.217 s/im on V100).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from vido_slam_tpu.config import config_from_dict
+    from vido_slam_tpu.geometry.camera import convert_depth
+    from vido_slam_tpu.models.maskrcnn.model import MaskRCNNConfig
+    from vido_slam_tpu.models.perception import PerceptionModel
+    from vido_slam_tpu.tracking import Tracker
+
+    H, W = 192, 640
+    n_warmup, n_bench = 3, 10
+
+    cfg = config_from_dict(
+        {
+            "Camera.width": W,
+            "Camera.height": H,
+            "Camera.fx": 408.201,
+            "Camera.fy": 408.69,
+            "Camera.cx": 304.1329,
+            "Camera.cy": 133.344,
+            "Camera.bf": 193.785,
+            "ChooseData": 3,
+            "DepthMapFactor": 500,
+            "WINDOW_SIZE": 20,
+            "MaxTrackPointBG": 3000,
+            "MaxTrackPointOBJ": 800,
+        }
+    )
+    perception = PerceptionModel(
+        H, W, MaskRCNNConfig(input_h=544, input_w=800), seed=0, use_pallas=True
+    )
+    tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,
+                      local_ba=True, ba_max_points=1000, ba_iters=10)
+
+    rng = np.random.RandomState(0)
+    frames = [
+        (rng.rand(H, W, 3) * 255).astype(np.float32) for _ in range(n_warmup + n_bench + 1)
+    ]
+
+    def run_frame(prev_img, cur_img):
+        out = perception(prev_img, cur_img)
+        depth = convert_depth(
+            out.depth_u16, "kaist",
+            cfg.system.depth_map_factor, cfg.camera.bf, scale=1.0,
+        )
+        tracker.track(depth, out.flow, out.mask.astype(np.int32))
+
+    # warmup (compilation)
+    for i in range(n_warmup):
+        run_frame(frames[i], frames[i + 1])
+    jax.block_until_ready(tracker.state.Tcw)
+
+    t0 = time.perf_counter()
+    for i in range(n_warmup, n_warmup + n_bench):
+        run_frame(frames[i], frames[i + 1])
+    jax.block_until_ready(tracker.state.Tcw)
+    dt = time.perf_counter() - t0
+
+    fps = n_bench / dt
+    print(json.dumps({
+        "metric": "kaist_e2e_fps",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 30.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

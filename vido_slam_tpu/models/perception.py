@@ -1,0 +1,132 @@
+"""Fused perception graph — the three ROS GPU services of the reference
+(FlowNetService, MonoDepthService, MaskRcnnService; SURVEY §2.3/§3.2)
+collapsed into ONE jitted TPU program per frame pair.
+
+The reference calls three networks sequentially over ROS IPC
+(src/realtime_demo/src/run_vido.cc:142-157). Here preprocessing (BGR->RGB,
+resizes, normalisation), MonoDepth2, LiteFlowNet and Mask R-CNN all live in
+a single XLA graph: no host round-trips, shared input handling, and XLA
+overlaps the three branches' compute.
+
+Service-parity output semantics:
+  depth: uint16-style min-max normalised inverse depth at camera resolution
+         (run_mono_depth.py:137-146);
+  flow:  (H, W, 2) float32 full-resolution flow (run_flow_net.py:85-107);
+  mask:  (H, W) uint8 semantic mask = sum(instance mask * label index)
+         (run_mask_rcnn.py:83-127).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vido_slam_tpu.models.layers import Params
+from vido_slam_tpu.models.liteflownet import (
+    init_liteflownet_params,
+    liteflownet_forward,
+)
+from vido_slam_tpu.models.maskrcnn.model import (
+    MaskRCNNConfig,
+    RESNET50_FPN,
+    init_maskrcnn_params,
+    maskrcnn_inference,
+    paste_semantic_mask,
+)
+from vido_slam_tpu.models.monodepth2 import (
+    FEED_HEIGHT,
+    FEED_WIDTH,
+    disp_to_uint16_depth,
+    init_monodepth2_params,
+    monodepth2_disp,
+)
+
+
+def _resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="bilinear")
+
+
+def _ceil32(v: int) -> int:
+    return -(-v // 32) * 32
+
+
+class PerceptionOutput(NamedTuple):
+    depth_u16: jnp.ndarray  # (H, W) float in [0, 65536] (service mono16)
+    flow: jnp.ndarray       # (H, W, 2)
+    mask: jnp.ndarray       # (H, W) uint8 semantic labels
+
+
+@partial(jax.jit, static_argnames=("height", "width", "mask_cfg", "use_pallas"))
+def perception_forward(
+    depth_params: Params,
+    flow_params: Params,
+    mask_params: Params,
+    prev_bgr: jnp.ndarray,   # (H, W, 3) float32 BGR 0..255
+    cur_bgr: jnp.ndarray,
+    *,
+    height: int,
+    width: int,
+    mask_cfg: MaskRCNNConfig,
+    use_pallas: bool = False,
+) -> PerceptionOutput:
+    prev_rgb = prev_bgr[None, :, :, ::-1] / 255.0
+    cur_rgb = cur_bgr[None, :, :, ::-1] / 255.0
+
+    # --- MonoDepth2 (current frame) ---
+    d_in = _resize(cur_rgb, FEED_HEIGHT, FEED_WIDTH)
+    disp = monodepth2_disp(depth_params, d_in)
+    depth_u16 = disp_to_uint16_depth(disp, height, width)[0]
+
+    # --- LiteFlowNet (prev -> cur) ---
+    ph, pw = _ceil32(height), _ceil32(width)
+    f_first = _resize(prev_rgb, ph, pw)
+    f_second = _resize(cur_rgb, ph, pw)
+    net_flow = liteflownet_forward(flow_params, f_first, f_second,
+                                   use_pallas=use_pallas)
+    flow = _resize(net_flow, height, width)[0]
+    flow = flow * jnp.asarray([width / pw, height / ph], flow.dtype)
+
+    # --- Mask R-CNN (current frame; wrapper feeds raw RGB floats 0..255,
+    #     resized to the model input size — predictor.py:283-286) ---
+    m_in = _resize(cur_bgr[None, :, :, ::-1], mask_cfg.input_h, mask_cfg.input_w)
+    det = maskrcnn_inference(mask_params, m_in, mask_cfg)
+    mask = paste_semantic_mask(
+        det, mask_cfg.input_h, mask_cfg.input_w, height, width,
+        mask_cfg.mask_threshold,
+    )
+    return PerceptionOutput(depth_u16=depth_u16, flow=flow, mask=mask)
+
+
+class PerceptionModel:
+    """Holds the three parameter sets and the jitted fused forward."""
+
+    def __init__(
+        self,
+        height: int,
+        width: int,
+        mask_cfg: MaskRCNNConfig = RESNET50_FPN,
+        seed: int = 0,
+        depth_params: Optional[Params] = None,
+        flow_params: Optional[Params] = None,
+        mask_params: Optional[Params] = None,
+        use_pallas: bool = True,
+    ):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        self.height = height
+        self.width = width
+        self.mask_cfg = mask_cfg
+        self.use_pallas = use_pallas
+        self.depth_params = depth_params or init_monodepth2_params(k1)
+        self.flow_params = flow_params or init_liteflownet_params(k2)
+        self.mask_params = mask_params or init_maskrcnn_params(k3, mask_cfg)
+
+    def __call__(self, prev_bgr, cur_bgr) -> PerceptionOutput:
+        return perception_forward(
+            self.depth_params, self.flow_params, self.mask_params,
+            jnp.asarray(prev_bgr, jnp.float32), jnp.asarray(cur_bgr, jnp.float32),
+            height=self.height, width=self.width, mask_cfg=self.mask_cfg,
+            use_pallas=self.use_pallas,
+        )

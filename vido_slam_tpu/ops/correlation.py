@@ -85,19 +85,31 @@ def _corr_kernel(f1_ref, f2m_ref, f2c_ref, f2p_ref, out_ref, *, stride: int,
     row_ok = (row_global >= 0) & (row_global < H)
     f2all = f2all * row_ok[:, None, None].astype(f1.dtype)
 
-    # zero-pad x by 3s so x-shifts become static slices
-    f2all = jnp.pad(f2all, ((0, 0), (3 * s, 3 * s), (0, 0)))
+    # zero-pad x by 3s so x-shifts become static slices (explicit concat:
+    # jnp.pad lowers poorly inside Mosaic)
+    zx = jnp.zeros((3 * TH, 3 * s, f1.shape[-1]), f1.dtype)
+    f2all = jnp.concatenate([zx, f2all, zx], axis=1)
 
-    f1s = f1[::s, ::s, :]
+    def strided(a, s0, s1):
+        # stride-s subsampling via reshape+unit-slice (Mosaic supports
+        # neither gather nor stride>1 slices)
+        if s0 == 1 and s1 == 1:
+            return a
+        t, w, c = a.shape
+        a = a.reshape(t // s0, s0, w // s1, s1, c)
+        return a[:, 0, :, 0, :]
+
+    f1s = strided(f1, s, s)
     inv_c = 1.0 / f1.shape[-1]
-    taps = []
     for p in range(-3, 4):
         for o in range(-3, 4):
             rows = jax.lax.slice_in_dim(f2all, TH + p * s, TH + p * s + TH, axis=0)
             cols = jax.lax.slice_in_dim(rows, 3 * s + o * s, 3 * s + o * s + W, axis=1)
-            f2s = cols[::s, ::s, :]
-            taps.append(jnp.sum(f1s * f2s, axis=-1) * inv_c)
-    out_ref[0] = jnp.stack(taps, axis=-1)
+            f2s = strided(cols, s, s)
+            ch = (p + 3) * 7 + (o + 3)
+            # write each tap straight to the output block so Mosaic can free
+            # the slice buffers between taps (a 49-way stack OOMs VMEM)
+            out_ref[0, :, :, ch] = jnp.sum(f1s * f2s, axis=-1) * inv_c
 
 
 def correlation_pallas(
