@@ -8,17 +8,22 @@ Structure per frame (VO mode):
   2. camera pose: parallel PnP-RANSAC vs constant-velocity model + LM refine
      (GetInitModelCam + PoseOptimizationNew, Tracking.cc:1125-1136);
   3. scene flow of object points (GetSceneFlowObj, :1582-1668);
-  4. object segmentation stats on device + tracking-id bookkeeping on host
-     (DynObjTracking, :1670-1912);
+  4. object segmentation stats + on-device object selection (the per-label
+     decisions of DynObjTracking, :1670-1912);
   5. per-object motion: RANSAC + LM, vmapped over a fixed object budget
-     (GetInitModelObj + PoseOptimizationObjMot, :1192-1305); speed =
-     |t - (I-R) c| * 36 km/h (:1295-1302); < 50 inliers marks the object
-     failed (:1218-1228);
+     (GetInitModelObj + PoseOptimizationObjMot, :1192-1305); the previous
+     frame's motions live in a per-semantic-bin device table so the motion-
+     model hypothesis needs no host round-trip; speed = |t - (I-R) c| * 36
+     km/h (:1295-1302); < 50 inliers marks the object failed (:1218-1228);
   6. feature renewal into fixed slots (RenewFrameInfo, :2959-3289);
-  7. push the frame into the map.
+  7. record the frame + tracking-id bookkeeping (host).
 
-All numeric phases are jitted fixed-shape device programs; the host only
-does tiny id bookkeeping and map appends.
+TPU-native structure: steps 1-6 are ONE jitted device program
+(`_track_step`) — a single dispatch per frame — and the host performs ONE
+batched `jax.device_get` for map recording and the tiny tracking-id
+bookkeeping. This matters doubly here: host<->device round-trips carry
+tunnel latency, and the reference's design (dozens of sequential CPU stages)
+would serialise on it.
 """
 
 from __future__ import annotations
@@ -44,6 +49,7 @@ from vido_slam_tpu.frontend.features import (
 )
 from vido_slam_tpu.frontend.objects import (
     MAX_SEM,
+    ObjectStats,
     ObjectTracker,
     assign_point_labels,
     compute_object_stats,
@@ -65,38 +71,213 @@ class TrackState(NamedTuple):
     Tcw: jnp.ndarray
     velocity: jnp.ndarray
     has_velocity: jnp.ndarray
+    # per-semantic-bin motion table: last frame's world-frame motion of the
+    # object whose points carried this semantic value (device-side stand-in
+    # for vObjMod + nSemPosition lookup, Tracking.cc:2095-2101)
+    bin_motion: jnp.ndarray      # (MAX_SEM, 4, 4)
+    bin_has_motion: jnp.ndarray  # (MAX_SEM,) bool
 
 
-@partial(jax.jit, static_argnames=("max_objects",))
-def _object_motion_phase(
-    keys,
-    Tcw,
-    pts3d_pre,
-    obs_uv,
-    obj_masks,          # (K, N) bool per-object point masks
-    H_mm,               # (K, 4, 4) motion-model hypotheses
-    has_mm,             # (K,) bool
-    active,             # (K,) bool — slot holds a real object
+class StepOutputs(NamedTuple):
+    """Everything the host needs per frame, fetched in one device_get."""
+
+    Tcw: jnp.ndarray
+    cam_motion: jnp.ndarray         # Twc_{t-1}^-1 Twc_t (BA odometry meas)
+    stat_inliers: jnp.ndarray
+    # object stats for host id bookkeeping
+    stats: ObjectStats
+    # selected objects (fixed K slots)
+    obj_sem_values: jnp.ndarray     # (K,) semantic value, 0 = inactive
+    obj_active: jnp.ndarray         # (K,)
+    obj_motion: jnp.ndarray         # (K, 4, 4)
+    obj_ok: jnp.ndarray             # (K,) >= 50 inliers
+    obj_num_inliers: jnp.ndarray    # (K,)
+    obj_centroid: jnp.ndarray       # (K, 3)
+    obj_speed: jnp.ndarray          # (K,)
+    # per-point motion labels (by semantic value; host maps to track ids)
+    point_labels: jnp.ndarray       # (N_obj,)
+    # renewed features + new-slot markers (also inside the new state)
+    stat_uv: jnp.ndarray
+    stat_depth: jnp.ndarray
+    stat_valid: jnp.ndarray
+    stat_is_new: jnp.ndarray
+    stat_3d: jnp.ndarray
+    obj_uv: jnp.ndarray
+    obj_depth: jnp.ndarray
+    obj_valid: jnp.ndarray
+    obj_is_new: jnp.ndarray
+    obj_sem: jnp.ndarray
+    obj_3d: jnp.ndarray
+
+
+def _select_objects(stats: ObjectStats, max_objects: int):
+    """Top-K tracked semantic bins by point count, on device."""
+    prio = jnp.where(stats.is_tracked, stats.count, -1.0)
+    vals, bins = jax.lax.top_k(prio, max_objects)
+    active = vals > 0
+    return jnp.where(active, bins, 0).astype(jnp.int32), active
+
+
+def _track_step(
+    state: TrackState,
+    depth: jnp.ndarray,
+    flow: jnp.ndarray,
+    mask: jnp.ndarray,
+    key: jnp.ndarray,
     cam: Camera,
+    *,
+    n_bg: int,
+    n_obj: int,
     max_objects: int,
+    th_depth_bg: float,
+    th_depth_obj: float,
+    sf_mg_thres: float,
+    sf_ds_thres: float,
+    height: int,
+    width: int,
 ):
-    def one(key, mask, Hm, hm):
-        est = estimate_object_motion(
-            key, Tcw, pts3d_pre, obs_uv, mask, cam, Hm, hm
-        )
-        # centroid of the object's pre-frame world points (Tracking.cc:1195-1204)
-        w = mask.astype(jnp.float32)
-        c = jnp.sum(pts3d_pre * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
-        sp_v = est.T[:3, 3] - (jnp.eye(3) - est.T[:3, :3]) @ c
-        speed = jnp.linalg.norm(sp_v) * 36.0  # km/h at 10 fps (Tracking.cc:1299)
-        return est.T, est.inliers, est.num_inliers, c, speed
+    k_cam, k_obj, k_fresh = jax.random.split(key, 3)
 
-    H, inl, n_inl, cent, speed = jax.vmap(one)(keys, obj_masks, H_mm, has_mm)
+    # -- 1. inherit correspondences ---------------------------------
+    cur_stat = propagate_features(state.stat, depth, mask, flow, th_depth=th_depth_bg)
+    cur_stat = cur_stat._replace(valid=cur_stat.valid & (cur_stat.sem == 0))
+    cur_obj = propagate_features(state.obj, depth, mask, flow, th_depth=th_depth_obj)
+
+    # -- 2. camera pose ---------------------------------------------
+    pts3d_stat = unproject_to_world(cam, state.stat.uv, state.stat.depth, state.Tcw)
+    T_mm = jnp.where(
+        state.has_velocity, compose(state.velocity, state.Tcw), state.Tcw
+    )
+    est = estimate_camera_pose(
+        k_cam, pts3d_stat, cur_stat.uv, cur_stat.valid & state.stat.valid, cam, T_mm
+    )
+    Tcw = est.T
+    velocity = compose(Tcw, inverse_se3(state.Tcw))
+    cam_motion = inverse_se3(velocity)
+
+    # -- 3/4. scene flow + object stats -----------------------------
+    obj_valid = cur_obj.valid & state.obj.valid
+    pts3d_obj_pre = unproject_to_world(cam, state.obj.uv, state.obj.depth, state.Tcw)
+    flow3d, sf_norm, sf_ok = scene_flow_world(
+        cam,
+        state.obj.uv, state.obj.depth, state.Tcw,
+        cur_obj.uv, cur_obj.depth, Tcw,
+        state.obj.sem, cur_obj.sem, obj_valid,
+    )
+    stats = compute_object_stats(
+        cur_obj.uv, cur_obj.sem, state.obj.sem, sf_norm, cur_obj.depth, sf_ok,
+        height=height, width=width,
+        sf_mg_thres=sf_mg_thres, sf_ds_thres=sf_ds_thres,
+        th_depth_obj=th_depth_obj,
+    )
+    sem_values, active = _select_objects(stats, max_objects)
+    # per-point labels: use the semantic value itself as a provisional label
+    # (> 0 for tracked bins); the host rewrites to global tracking ids
+    sem_as_id = jnp.arange(MAX_SEM, dtype=jnp.int32)
+    point_labels = assign_point_labels(cur_obj.sem, sf_ok, stats, sem_as_id)
+
+    # -- 5. object motions ------------------------------------------
+    # motion-model hypothesis: last frame's motion of the bin this object's
+    # points came from (assoc_prev_sem), looked up in the device table
+    prev_bins = stats.assoc_prev_sem[sem_values]
+    H_mm = state.bin_motion[prev_bins]
+    has_mm = state.bin_has_motion[prev_bins] & active
+
+    obj_masks = (
+        (cur_obj.sem[None, :] == sem_values[:, None])
+        & active[:, None]
+        & (point_labels[None, :] > 0)
+    )
+
+    def one(kk, msk, Hm, hm):
+        oest = estimate_object_motion(
+            kk, Tcw, pts3d_obj_pre, cur_obj.uv, msk, cam, Hm, hm
+        )
+        w = msk.astype(jnp.float32)
+        c = jnp.sum(pts3d_obj_pre * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+        sp_v = oest.T[:3, 3] - (jnp.eye(3) - oest.T[:3, :3]) @ c
+        speed = jnp.linalg.norm(sp_v) * 36.0
+        return oest.T, oest.inliers, oest.num_inliers, c, speed
+
+    keys = jax.random.split(k_obj, max_objects)
+    H, obj_inl, n_inl, cent, speed = jax.vmap(one)(keys, obj_masks, H_mm, has_mm)
     ok = active & (n_inl >= MIN_OBJ_INLIERS)
-    eye = jnp.broadcast_to(jnp.eye(4), (max_objects, 4, 4))
-    H = jnp.where(ok[:, None, None], H, eye)
+    eye4 = jnp.broadcast_to(jnp.eye(4), (max_objects, 4, 4))
+    H = jnp.where(ok[:, None, None], H, eye4)
     speed = jnp.where(ok, speed, 0.0)
-    return H, inl, n_inl, cent, speed, ok
+
+    # failed objects' points fall back to -1 (Tracking.cc:1391-1398);
+    # out-of-bounds indices with mode="drop" skip the non-failed slots
+    failed_idx = jnp.where(active & ~ok, sem_values, MAX_SEM)
+    is_failed_bin = jnp.zeros(MAX_SEM, bool).at[failed_idx].set(True, mode="drop")
+    point_labels = jnp.where(is_failed_bin[jnp.clip(cur_obj.sem, 0, MAX_SEM - 1)],
+                             -1, point_labels)
+
+    # motion table for the next frame: only this frame's successful objects
+    # seed a motion-model hypothesis (vObjMod semantics)
+    ok_idx = jnp.where(ok, sem_values, MAX_SEM)
+    bin_motion = state.bin_motion.at[ok_idx].set(H, mode="drop")
+    bin_has_motion = jnp.zeros(MAX_SEM, bool).at[ok_idx].set(True, mode="drop")
+
+    obj_inlier_any = jnp.any(obj_inl & obj_masks, axis=0)
+
+    # -- 6. renewal --------------------------------------------------
+    fresh_bg = sample_background_features(
+        k_fresh, mask, depth, flow, n=n_bg, th_depth=th_depth_bg
+    )
+    fresh_obj = sample_object_points(
+        mask, depth, flow, n=n_obj, th_depth=th_depth_obj
+    )
+    renewed_stat, stat_new = renew_features(
+        cur_stat, est.inliers, fresh_bg, height=height, width=width
+    )
+    keep_obj = obj_inlier_any & (point_labels > 0)
+    renewed_obj, obj_new = renew_features(
+        cur_obj, keep_obj, fresh_obj, height=height, width=width
+    )
+    fresh_labels = assign_point_labels(
+        renewed_obj.sem, renewed_obj.valid, stats, sem_as_id
+    )
+    point_labels = jnp.where(obj_new, fresh_labels, point_labels)
+
+    stat_3d = unproject_to_world(cam, renewed_stat.uv, renewed_stat.depth, Tcw)
+    obj_3d = unproject_to_world(cam, renewed_obj.uv, renewed_obj.depth, Tcw)
+
+    new_state = TrackState(
+        stat=renewed_stat,
+        obj=renewed_obj,
+        Tcw=Tcw,
+        velocity=velocity,
+        has_velocity=jnp.bool_(True),
+        bin_motion=bin_motion,
+        bin_has_motion=bin_has_motion,
+    )
+    outputs = StepOutputs(
+        Tcw=Tcw,
+        cam_motion=cam_motion,
+        stat_inliers=est.inliers,
+        stats=stats,
+        obj_sem_values=sem_values,
+        obj_active=active,
+        obj_motion=H,
+        obj_ok=ok,
+        obj_num_inliers=n_inl,
+        obj_centroid=cent,
+        obj_speed=speed,
+        point_labels=point_labels,
+        stat_uv=renewed_stat.uv,
+        stat_depth=renewed_stat.depth,
+        stat_valid=renewed_stat.valid,
+        stat_is_new=stat_new,
+        stat_3d=stat_3d,
+        obj_uv=renewed_obj.uv,
+        obj_depth=renewed_obj.depth,
+        obj_valid=renewed_obj.valid,
+        obj_is_new=obj_new,
+        obj_sem=renewed_obj.sem,
+        obj_3d=obj_3d,
+    )
+    return new_state, outputs
 
 
 class Tracker:
@@ -131,25 +312,27 @@ class Tracker:
         self.local_ba = local_ba
         self.ba_max_points = ba_max_points
         self.ba_iters = ba_iters
-        # host mirror: track_id -> last world-frame motion (for motion model)
-        self._last_motion: dict[int, np.ndarray] = {}
+        s = config.system
+        self._step = jax.jit(
+            partial(
+                _track_step,
+                cam=self.cam,
+                n_bg=self.n_bg,
+                n_obj=self.n_obj,
+                max_objects=self.max_objects,
+                th_depth_bg=s.th_depth_bg,
+                th_depth_obj=s.th_depth_obj,
+                sf_mg_thres=s.sf_mg_thres,
+                sf_ds_thres=s.sf_ds_thres,
+                height=self.cam.height,
+                width=self.cam.width,
+            )
+        )
 
     # ------------------------------------------------------------------
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
         return k
-
-    def _sample_fresh(self, depth, flow, mask):
-        kb = self._next_key()
-        fresh_bg = sample_background_features(
-            kb, mask, depth, flow,
-            n=self.n_bg, th_depth=self.cfg.system.th_depth_bg,
-        )
-        fresh_obj = sample_object_points(
-            mask, depth, flow,
-            n=self.n_obj, th_depth=self.cfg.system.th_depth_obj,
-        )
-        return fresh_bg, fresh_obj
 
     # ------------------------------------------------------------------
     def initialize(self, depth, flow, mask, Tcw_gt=None, timestamp=0.0):
@@ -158,7 +341,13 @@ class Tracker:
         depth = jnp.asarray(depth)
         flow = jnp.asarray(flow)
         mask = jnp.asarray(mask, jnp.int32)
-        stat, obj = self._sample_fresh(depth, flow, mask)
+        stat = sample_background_features(
+            self._next_key(), mask, depth, flow,
+            n=self.n_bg, th_depth=self.cfg.system.th_depth_bg,
+        )
+        obj = sample_object_points(
+            mask, depth, flow, n=self.n_obj, th_depth=self.cfg.system.th_depth_obj
+        )
         Tcw = jnp.eye(4)
         self.state = TrackState(
             stat=stat,
@@ -166,12 +355,28 @@ class Tracker:
             Tcw=Tcw,
             velocity=jnp.eye(4),
             has_velocity=jnp.bool_(False),
+            bin_motion=jnp.tile(jnp.eye(4), (MAX_SEM, 1, 1)),
+            bin_has_motion=jnp.zeros(MAX_SEM, bool),
         )
-        self._record_frame(
-            Tcw, stat, jnp.ones(self.n_bg, bool), obj,
-            jnp.full((self.n_obj,), -1, jnp.int32), jnp.ones(self.n_obj, bool),
-            [], Tcw_gt, timestamp, {},
+        stat_3d = unproject_to_world(self.cam, stat.uv, stat.depth, Tcw)
+        obj_3d = unproject_to_world(self.cam, obj.uv, obj.depth, Tcw)
+        host = jax.device_get(
+            (stat.uv, stat.depth, stat.valid, stat_3d,
+             obj.uv, obj.depth, obj.valid, obj.sem, obj_3d)
         )
+        (s_uv, s_d, s_v, s_3d, o_uv, o_d, o_v, o_s, o_3d) = host
+        self.map.add_frame(FrameRecord(
+            frame_id=self.frame_id,
+            timestamp=float(timestamp),
+            Tcw=np.eye(4, dtype=np.float32),
+            Tcw_gt=None if Tcw_gt is None else np.asarray(Tcw_gt),
+            stat_uv=s_uv, stat_depth=s_d, stat_valid=s_v,
+            stat_is_new=np.ones(self.n_bg, bool), stat_3d=s_3d,
+            obj_uv=o_uv, obj_depth=o_d, obj_valid=o_v,
+            obj_is_new=np.ones(self.n_obj, bool), obj_sem=o_s,
+            obj_label=np.full(self.n_obj, -1, np.int32), obj_3d=o_3d,
+            objects=[], timing={},
+        ))
         self.frame_id += 1
 
     # ------------------------------------------------------------------
@@ -181,160 +386,65 @@ class Tracker:
             self.initialize(depth, flow, mask, Tcw_gt,
                             timestamp if timestamp is not None else 0.0)
             return np.eye(4, dtype=np.float32)
+        if timestamp is None:
+            timestamp = self.frame_id / self.cam.fps
+        t_start = time.perf_counter()
+
         depth = jnp.asarray(depth)
         flow = jnp.asarray(flow)
         mask = jnp.asarray(mask, jnp.int32)
-        if timestamp is None:
-            timestamp = self.frame_id / self.cam.fps
-        timing = {}
-        st = self.state
 
-        # -- 1. inherit correspondences ---------------------------------
-        t0 = time.perf_counter()
-        cur_stat = propagate_features(
-            st.stat, depth, mask, flow, th_depth=self.cfg.system.th_depth_bg
-        )
-        # background features must stay on background in the new frame
-        cur_stat = cur_stat._replace(valid=cur_stat.valid & (cur_stat.sem == 0))
-        cur_obj = propagate_features(
-            st.obj, depth, mask, flow, th_depth=self.cfg.system.th_depth_obj
-        )
-        timing["mask_update"] = time.perf_counter() - t0
+        new_state, out = self._step(self.state, depth, flow, mask, self._next_key())
+        self.state = new_state
 
-        # -- 2. camera pose ---------------------------------------------
-        t0 = time.perf_counter()
-        pts3d_stat = unproject_to_world(self.cam, st.stat.uv, st.stat.depth, st.Tcw)
-        T_mm = jnp.where(
-            st.has_velocity, compose(st.velocity, st.Tcw), st.Tcw
-        )
-        est = estimate_camera_pose(
-            self._next_key(), pts3d_stat, cur_stat.uv,
-            cur_stat.valid & st.stat.valid, self.cam, T_mm,
-        )
-        Tcw = est.T
-        velocity = compose(Tcw, inverse_se3(st.Tcw))
-        timing["cam_pose"] = time.perf_counter() - t0
+        # ---- single batched host fetch -----------------------------
+        h = jax.device_get(out)
+        t_step = time.perf_counter()
 
-        # -- 3/4. scene flow + object tracking --------------------------
-        t0 = time.perf_counter()
-        obj_valid = cur_obj.valid & st.obj.valid
-        pts3d_obj_pre = unproject_to_world(self.cam, st.obj.uv, st.obj.depth, st.Tcw)
-        flow3d, sf_norm, sf_ok = scene_flow_world(
-            self.cam,
-            st.obj.uv, st.obj.depth, st.Tcw,
-            cur_obj.uv, cur_obj.depth, Tcw,
-            st.obj.sem, cur_obj.sem, obj_valid,
-        )
-        stats = compute_object_stats(
-            cur_obj.uv, cur_obj.sem, st.obj.sem, sf_norm, cur_obj.depth, sf_ok,
-            height=self.cam.height, width=self.cam.width,
-            sf_mg_thres=self.cfg.system.sf_mg_thres,
-            sf_ds_thres=self.cfg.system.sf_ds_thres,
-            th_depth_obj=self.cfg.system.th_depth_obj,
-        )
-        bin_track_id, objects = self.object_tracker.assign_ids(stats)
-        point_labels = assign_point_labels(
-            cur_obj.sem, sf_ok, stats, jnp.asarray(bin_track_id)
-        )
-        timing["obj_track"] = time.perf_counter() - t0
+        # ---- host bookkeeping: tracking ids ------------------------
+        bin_track_id, objects = self.object_tracker.assign_ids(h.stats)
+        sem_to_tid = np.zeros(MAX_SEM, np.int32)
+        sem_to_tid[: bin_track_id.shape[0]] = bin_track_id
+        labels = np.asarray(h.point_labels)
+        labels = np.where(labels > 0, sem_to_tid[np.clip(labels, 0, MAX_SEM - 1)], labels)
 
-        # -- 5. per-object motion ---------------------------------------
-        t0 = time.perf_counter()
-        K = self.max_objects
-        objects = objects[:K]
-        sem_values = np.zeros(K, np.int32)
-        H_mm = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
-        has_mm = np.zeros(K, bool)
-        active = np.zeros(K, bool)
-        for k, ob in enumerate(objects):
-            sem_values[k] = ob.sem_value
-            active[k] = True
-            if ob.track_id in self._last_motion:
-                H_mm[k] = self._last_motion[ob.track_id]
-                has_mm[k] = True
-        sem_values_j = jnp.asarray(sem_values)
-        obj_masks = (
-            (cur_obj.sem[None, :] == sem_values_j[:, None])
-            & (sem_values_j[:, None] > 0)
-            & (point_labels[None, :] > 0)
-        )
-        keys = jax.random.split(self._next_key(), K)
-        H, obj_inl, n_inl, cent, speed, ok = _object_motion_phase(
-            keys, Tcw, pts3d_obj_pre, cur_obj.uv, obj_masks,
-            jnp.asarray(H_mm), jnp.asarray(has_mm), jnp.asarray(active),
-            self.cam, K,
-        )
-        n_inl_np = np.asarray(n_inl)
-        ok_np = np.asarray(ok)
-        H_np = np.asarray(H)
-        cent_np = np.asarray(cent)
-        speed_np = np.asarray(speed)
         obs_list: List[ObjectObservation] = []
-        self._last_motion = {}
-        for k, ob in enumerate(objects):
-            status = bool(ok_np[k])
+        for k in range(self.max_objects):
+            if not h.obj_active[k]:
+                continue
+            sem_v = int(h.obj_sem_values[k])
+            status = bool(h.obj_ok[k])
             if not status:
-                self.object_tracker.mark_failed(ob.sem_value)
-            else:
-                self._last_motion[ob.track_id] = H_np[k]
-            obs_list.append(
-                ObjectObservation(
-                    track_id=ob.track_id,
-                    sem_value=ob.sem_value,
-                    motion=H_np[k],
-                    speed_kmh=float(speed_np[k]),
-                    centroid=cent_np[k],
-                    num_inliers=int(n_inl_np[k]),
-                    status=status,
-                )
-            )
-        # failed objects' points drop to -1 (Tracking.cc:1391-1398)
-        failed_sems = jnp.asarray(
-            [o.sem_value for o, okk in zip(objects, ok_np) if not okk] or [-2],
-            jnp.int32,
-        )
-        point_labels = jnp.where(
-            jnp.isin(cur_obj.sem, failed_sems), -1, point_labels
-        )
-        # object-point inliers across all objects
-        obj_inlier_any = jnp.any(obj_inl & obj_masks, axis=0)
-        timing["obj_motion"] = time.perf_counter() - t0
+                self.object_tracker.mark_failed(sem_v)
+            obs_list.append(ObjectObservation(
+                track_id=int(sem_to_tid[sem_v]),
+                sem_value=sem_v,
+                motion=h.obj_motion[k],
+                speed_kmh=float(h.obj_speed[k]),
+                centroid=h.obj_centroid[k],
+                num_inliers=int(h.obj_num_inliers[k]),
+                status=status,
+            ))
 
-        # -- 6. renewal --------------------------------------------------
-        t0 = time.perf_counter()
-        fresh_bg, fresh_obj = self._sample_fresh(depth, flow, mask)
-        renewed_stat, stat_new = renew_features(
-            cur_stat, est.inliers, fresh_bg,
-            height=self.cam.height, width=self.cam.width,
-        )
-        keep_obj = obj_inlier_any & (point_labels > 0)
-        renewed_obj, obj_new = renew_features(
-            cur_obj, keep_obj, fresh_obj,
-            height=self.cam.height, width=self.cam.width,
-        )
-        # freshly filled slots take their bin's label (kept slots keep theirs)
-        fresh_labels = assign_point_labels(
-            renewed_obj.sem, renewed_obj.valid, stats, jnp.asarray(bin_track_id)
-        )
-        point_labels = jnp.where(obj_new, fresh_labels, point_labels)
-        timing["map_update"] = time.perf_counter() - t0
-
-        # -- 7. record + advance state ----------------------------------
-        self._record_frame(
-            Tcw, renewed_stat, stat_new, renewed_obj, point_labels, obj_new,
-            obs_list, Tcw_gt, timestamp, timing,
-            cam_motion=np.asarray(inverse_se3(velocity)),
-        )
-        self.state = TrackState(
-            stat=renewed_stat,
-            obj=renewed_obj,
-            Tcw=Tcw,
-            velocity=velocity,
-            has_velocity=jnp.bool_(True),
-        )
+        self.map.add_frame(FrameRecord(
+            frame_id=self.frame_id,
+            timestamp=float(timestamp),
+            Tcw=np.asarray(h.Tcw),
+            Tcw_gt=None if Tcw_gt is None else np.asarray(Tcw_gt),
+            stat_uv=h.stat_uv, stat_depth=h.stat_depth,
+            stat_valid=h.stat_valid, stat_is_new=h.stat_is_new,
+            stat_3d=np.array(h.stat_3d),
+            obj_uv=h.obj_uv, obj_depth=h.obj_depth, obj_valid=h.obj_valid,
+            obj_is_new=h.obj_is_new, obj_sem=h.obj_sem,
+            obj_label=labels.astype(np.int32), obj_3d=np.array(h.obj_3d),
+            objects=obs_list,
+            timing={"track_step": t_step - t_start},
+            cam_motion=np.asarray(h.cam_motion),
+        ))
         self.frame_id += 1
+        Tcw = h.Tcw
 
-        # -- 8. sliding-window BA (PartialBatchOptimization, every frame) --
+        # ---- sliding-window BA (PartialBatchOptimization) ----------
         if self.local_ba and len(self.map) >= 3:
             t0 = time.perf_counter()
             Tcw = self._run_window_ba()
@@ -364,8 +474,7 @@ class Tracker:
             jnp.asarray(frame_valid),
             max_iters=self.ba_iters,
         )
-        Twc = np.asarray(res.Twc)
-        X = np.asarray(res.points)
+        Twc, X = jax.device_get((res.Twc, res.points))
         # write back poses
         recs = self.map.frames[len(self.map) - (W - prob.pad):]
         for i, rec in enumerate(recs):
@@ -375,41 +484,10 @@ class Tracker:
         for wi in range(prob.pad, W):
             sl = prob.slots[wi]
             m = (sl >= 0) & pv
-            p3d = np.array(recs[wi - prob.pad].stat_3d)  # asarray views of
-            p3d[sl[m]] = X[m]                            # jax arrays are RO
+            p3d = np.array(recs[wi - prob.pad].stat_3d)
+            p3d[sl[m]] = X[m]
             recs[wi - prob.pad].stat_3d = p3d
         # current pose feeds the next frame's tracking
         Tcw_cur = jnp.asarray(recs[-1].Tcw)
         self.state = self.state._replace(Tcw=Tcw_cur)
         return Tcw_cur
-
-    # ------------------------------------------------------------------
-    def _record_frame(
-        self, Tcw, stat, stat_new, obj, obj_label, obj_new,
-        objects, Tcw_gt, timestamp, timing, cam_motion=None,
-    ):
-        stat_3d = unproject_to_world(self.cam, stat.uv, stat.depth, Tcw)
-        obj_3d = unproject_to_world(self.cam, obj.uv, obj.depth, Tcw)
-        self.map.add_frame(
-            FrameRecord(
-                frame_id=self.frame_id,
-                timestamp=float(timestamp),
-                Tcw=np.asarray(Tcw),
-                Tcw_gt=None if Tcw_gt is None else np.asarray(Tcw_gt),
-                stat_uv=np.asarray(stat.uv),
-                stat_depth=np.asarray(stat.depth),
-                stat_valid=np.asarray(stat.valid),
-                stat_is_new=np.asarray(stat_new),
-                stat_3d=np.asarray(stat_3d),
-                obj_uv=np.asarray(obj.uv),
-                obj_depth=np.asarray(obj.depth),
-                obj_valid=np.asarray(obj.valid),
-                obj_is_new=np.asarray(obj_new),
-                obj_sem=np.asarray(obj.sem),
-                obj_label=np.asarray(obj_label),
-                obj_3d=np.asarray(obj_3d),
-                objects=objects,
-                timing=timing,
-                cam_motion=cam_motion,
-            )
-        )
