@@ -136,15 +136,20 @@ def lm_solve(
 
     def body(state):
         it, x, lam, ni, cost, H, g, done = state
-        Hd = H + lam * jnp.eye(P, dtype=H.dtype)
+        # Marquardt scaling: damp proportionally to diag(H) so parameters of
+        # very different magnitudes (velocities vs biases vs log-scale) get
+        # commensurate trust regions; floor keeps null directions bounded.
+        dH = jnp.diag(H)
+        floor = 1e-6 * jnp.maximum(jnp.max(dH), 1e-12)
+        Hd = H + lam * jnp.diag(jnp.maximum(dH, floor))
         delta = _solve_spd(Hd, -g)
         # numerical failure guard: if cholesky produced nans, reject step
         bad = jnp.any(jnp.isnan(delta))
         delta = jnp.where(bad, jnp.zeros_like(delta), delta)
         x_new = x + delta
         _, _, _, _, cost_new = block_stats(x_new)
-        # predicted reduction: 0.5 * delta^T (lam*delta - g)
-        pred = 0.5 * jnp.dot(delta, lam * delta - g)
+        # predicted reduction: 0.5 * delta^T (lam*D*delta - g)
+        pred = 0.5 * jnp.dot(delta, lam * jnp.maximum(dH, floor) * delta - g)
         rho = (cost - cost_new) / jnp.maximum(pred, 1e-20)
         accept = (cost_new < cost) & jnp.logical_not(bad)
         # g2o policy: on accept lam *= max(1/3, 1-(2rho-1)^3), ni=2
