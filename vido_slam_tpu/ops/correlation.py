@@ -99,28 +99,65 @@ def _corr_kernel(f1_ref, f2m_ref, f2c_ref, f2p_ref, out_ref, *, stride: int,
         a = a.reshape(t // s0, s0, w // s1, s1, c)
         return a[:, 0, :, 0, :]
 
+    # every tap's offsets (TH + p*s, 3s + o*s) are multiples of s, so a
+    # single phase-0 subsample serves all 49 taps with unit-stride slices —
+    # one temporary instead of three per tap, and 1/s^2 the VMEM at stride 2
     f1s = strided(f1, s, s)
+    f2ph = strided(f2all, s, s)            # (3*TH/s, (W+6s)/s, C)
+    THs = TH // s
+    Ws = W // s
     inv_c = 1.0 / f1.shape[-1]
     for p in range(-3, 4):
         for o in range(-3, 4):
-            rows = jax.lax.slice_in_dim(f2all, TH + p * s, TH + p * s + TH, axis=0)
-            cols = jax.lax.slice_in_dim(rows, 3 * s + o * s, 3 * s + o * s + W, axis=1)
-            f2s = strided(cols, s, s)
+            f2s = jax.lax.slice(
+                f2ph,
+                (THs + p, 3 + o, 0),
+                (THs + p + THs, 3 + o + Ws, f2ph.shape[-1]),
+            )
             ch = (p + 3) * 7 + (o + 3)
             # write each tap straight to the output block so Mosaic can free
             # the slice buffers between taps (a 49-way stack OOMs VMEM)
             out_ref[0, :, :, ch] = jnp.sum(f1s * f2s, axis=-1) * inv_c
 
 
+def _vmem_estimate(TH: int, W: int, C: int, s: int) -> int:
+    """Conservative VMEM bytes for one grid step: 4 double-buffered input
+    blocks, the concatenated+padded f2 scratch plus its phase subsample,
+    per-tap temporaries (slice + product before reduction, a few alive at
+    once), and the double-buffered output block."""
+    blocks = 4 * 2 * TH * W * C * 4
+    f2all = 2 * 3 * TH * (W + 6 * s) * C * 4  # concat + padded copy
+    f2ph = 3 * (TH // s) * ((W + 6 * s) // s) * C * 4
+    taps = 4 * (TH // s) * (W // s) * C * 4   # slice+product, ~2 live x2 slack
+    out = 2 * (TH // s) * (W // s) * 49 * 4
+    return blocks + f2all + f2ph + taps + out
+
+
+def _pick_row_tile(H: int, W: int, C: int, s: int, max_tile: int,
+                   budget: int = 10 * 1024 * 1024):
+    """Largest TH that divides H, is a multiple of s, >= 3s (halo), and fits
+    the VMEM budget. None if impossible."""
+    best = None
+    for TH in range(s, min(H, max_tile * s) + 1, s):
+        if H % TH or TH < 3 * s:
+            continue
+        if _vmem_estimate(TH, W, C, s) <= budget:
+            best = TH
+    return best
+
+
 def correlation_pallas(
-    f1: jnp.ndarray, f2: jnp.ndarray, stride: int = 1, row_tile: int = 8,
+    f1: jnp.ndarray, f2: jnp.ndarray, stride: int = 1, row_tile: int = 64,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Pallas cost volume; falls back to XLA on awkward shapes."""
+    """Pallas cost volume; falls back to XLA on awkward shapes. `row_tile`
+    caps the tile height; the actual tile is auto-sized to fit VMEM."""
     N, H, W, C = f1.shape
     s = stride
-    TH = row_tile * s
-    if H % TH != 0 or W % s != 0 or TH < 3 * s:
+    if W % s != 0:
+        return correlation(f1, f2, stride)
+    TH = _pick_row_tile(H, W, C, s, row_tile)
+    if TH is None:
         return correlation(f1, f2, stride)
     Ho, Wo = H // s, W // s
     n_tiles = H // TH
