@@ -132,6 +132,7 @@ def estimate_camera_pose(
     valid: jnp.ndarray,
     cam: Camera,
     T_motion_model: jnp.ndarray,  # velocity * T_last (Tracking.cc:1984-1987)
+    obs_pc: jnp.ndarray = None,   # (N, 3) current camera-frame backprojections
     num_hypotheses: int = 500,
 ) -> PoseEstimate:
     """Full camera-pose pipeline: RANSAC vs motion model, then LM refine.
@@ -141,7 +142,8 @@ def estimate_camera_pose(
     inlier set.
     """
     rr = pnp_ransac(
-        key, pts3d_world, obs_uv, valid, cam, num_hypotheses=num_hypotheses
+        key, pts3d_world, obs_uv, valid, cam, obs_pc,
+        num_hypotheses=num_hypotheses,
     )
     mm_ok, mm_count = _count_model_inliers(T_motion_model, pts3d_world, obs_uv, valid, cam)
     use_ransac = rr.num_inliers > mm_count
@@ -160,6 +162,7 @@ def estimate_object_motion(
     cam: Camera,
     H_motion_model: jnp.ndarray,   # previous motion of same object (world)
     has_motion_model: jnp.ndarray,  # scalar bool
+    obs_pc: jnp.ndarray = None,    # (N, 3) current camera-frame backprojections
     num_hypotheses: int = 500,
 ) -> PoseEstimate:
     """Full object-motion pipeline (Tracking.cc:1213,2030-2162).
@@ -169,7 +172,8 @@ def estimate_object_motion(
     converted back to H = Tcw^-1 * M and refined with the object-motion LM.
     """
     rr = pnp_ransac(
-        key, pts3d_world, obs_uv, valid, cam, num_hypotheses=num_hypotheses
+        key, pts3d_world, obs_uv, valid, cam, obs_pc,
+        num_hypotheses=num_hypotheses,
     )
     M_mm = compose(Tcw, H_motion_model)
     mm_ok, mm_count = _count_model_inliers(M_mm, pts3d_world, obs_uv, valid, cam)

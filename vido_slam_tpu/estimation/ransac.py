@@ -6,16 +6,21 @@ GetInitModelObj). RANSAC is embarrassingly parallel: here all hypotheses are
 generated and scored at once with `vmap` — one fused XLA program instead of a
 sequential loop.
 
-Minimal solver: 6-point DLT in normalized camera coordinates with 3D data
-conditioning (Hartley normalization), orthogonal Procrustes projection onto
-SO(3), and cheirality sign fix. Degenerate samples simply score few inliers
-and lose the argmax; no data-dependent control flow.
+Minimal solver: the pipeline is RGB-D (depth for every feature in both
+frames), so the hypothesis generator is 4-point Kabsch/Umeyama 3D-3D
+alignment — a closed-form batched 3x3 SVD that stays well-posed for
+COPLANAR points (road scenes are dominated by the ground plane, which makes
+projective minimal solvers like DLT degenerate; the reference's P3P
+tolerates coplanarity for the same reason). Hypotheses are scored by 2D
+reprojection error exactly like the reference (0.4 px). Degenerate samples
+simply score few inliers and lose the argmax; no data-dependent control
+flow. A 6-point DLT (`_dlt_pose`) is kept for depth-less callers.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +80,21 @@ def _dlt_pose(X: jnp.ndarray, x_norm: jnp.ndarray) -> jnp.ndarray:
     return make_se3(R, t_final)
 
 
+def _kabsch_pose(Xw: jnp.ndarray, Xc: jnp.ndarray) -> jnp.ndarray:
+    """4+ point 3D-3D alignment: world points (S, 3) + camera-frame points
+    (S, 3) -> (4, 4) T with Xc = R Xw + t (Arun/Kabsch, closed form)."""
+    cw = jnp.mean(Xw, axis=0)
+    cc = jnp.mean(Xc, axis=0)
+    Hm = jnp.einsum("ni,nj->ij", Xw - cw, Xc - cc, precision=_HI)
+    U, _, Vt = jnp.linalg.svd(Hm)
+    # R maps world->camera: R = V diag(1,1,det) U^T
+    det = jnp.linalg.det(jnp.matmul(Vt.T, U.T, precision=_HI))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(det)
+    R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_HI), U.T, precision=_HI)
+    t = cc - R @ cw
+    return make_se3(R, t)
+
+
 def _score(T: jnp.ndarray, X: jnp.ndarray, obs_uv: jnp.ndarray, cam: Camera,
            valid: jnp.ndarray, thresh: float):
     R = T[:3, :3]
@@ -93,12 +113,16 @@ def pnp_ransac(
     obs_uv: jnp.ndarray,    # (N, 2) current-frame pixels
     valid: jnp.ndarray,     # (N,) bool
     cam: Camera,
+    obs_pc: Optional[jnp.ndarray] = None,  # (N, 3) current camera-frame pts
     *,
     num_hypotheses: int = 500,
-    sample_size: int = 6,
+    sample_size: int = 4,
     threshold: float = 0.4,  # px, Tracking.cc:1966
 ) -> RansacResult:
-    """All-parallel RANSAC: returns best pose + inlier mask."""
+    """All-parallel RANSAC: returns best pose + inlier mask.
+
+    With `obs_pc` (RGB-D: current-frame backprojections) hypotheses come
+    from the coplanar-safe Kabsch solver; without it, 6-point DLT."""
     N = pts3d.shape[0]
     # sample indices weighted toward valid points (invalid ones would produce
     # bad hypotheses that lose anyway, but don't waste hypotheses on them)
@@ -106,18 +130,18 @@ def pnp_ransac(
     p = p / jnp.maximum(jnp.sum(p), 1.0)
     p = jnp.where(jnp.sum(valid) > 0, p, jnp.full((N,), 1.0 / N))
     idx = jax.random.choice(
-        key, N, shape=(num_hypotheses, sample_size), replace=True, p=p
+        key, N, shape=(num_hypotheses, max(sample_size, 6 if obs_pc is None else sample_size)),
+        replace=True, p=p,
     )
 
-    x_norm = jnp.stack(
-        [(obs_uv[:, 0] - cam.cx) / cam.fx, (obs_uv[:, 1] - cam.cy) / cam.fy],
-        axis=-1,
-    )
-
-    def one(ix):
-        return _dlt_pose(pts3d[ix], x_norm[ix])
-
-    Ts = jax.vmap(one)(idx)  # (H, 4, 4)
+    if obs_pc is not None:
+        Ts = jax.vmap(lambda ix: _kabsch_pose(pts3d[ix], obs_pc[ix]))(idx)
+    else:
+        x_norm = jnp.stack(
+            [(obs_uv[:, 0] - cam.cx) / cam.fx, (obs_uv[:, 1] - cam.cy) / cam.fy],
+            axis=-1,
+        )
+        Ts = jax.vmap(lambda ix: _dlt_pose(pts3d[ix], x_norm[ix]))(idx)
     ok, counts = jax.vmap(lambda T: _score(T, pts3d, obs_uv, cam, valid, threshold))(Ts)
     best = jnp.argmax(counts)
     return RansacResult(T=Ts[best], inliers=ok[best], num_inliers=counts[best])

@@ -47,6 +47,32 @@ def gather_nearest(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return img[r, c]
 
 
+def gather_depth_bilinear(depth: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear depth gather that falls back to nearest when any of the four
+    taps is invalid (depth <= 0) — interpolating across an invalid/occlusion
+    boundary would fabricate depths. depth (H, W), uv (N, 2)."""
+    H, W = depth.shape
+    u = jnp.clip(uv[:, 0], 0.0, W - 1.0)
+    v = jnp.clip(uv[:, 1], 0.0, H - 1.0)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, W - 1)
+    v1 = jnp.minimum(v0 + 1, H - 1)
+    fu = u - u0
+    fv = v - v0
+    d00 = depth[v0, u0]
+    d01 = depth[v0, u1]
+    d10 = depth[v1, u0]
+    d11 = depth[v1, u1]
+    all_valid = (d00 > 0) & (d01 > 0) & (d10 > 0) & (d11 > 0)
+    bil = (
+        d00 * (1 - fu) * (1 - fv) + d01 * fu * (1 - fv)
+        + d10 * (1 - fu) * fv + d11 * fu * fv
+    )
+    nearest = gather_nearest(depth, uv)
+    return jnp.where(all_valid, bil, nearest)
+
+
 def gather_bilinear(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear gather; img (H, W) or (H, W, C), uv (N, 2) as (u, v)."""
     H, W = img.shape[0], img.shape[1]
@@ -212,8 +238,8 @@ def propagate_features(
         & (uv_new[:, 1] >= 0)
         & (uv_new[:, 1] <= H - 1)
     )
-    d = gather_nearest(new_depth, uv_new)
+    d = gather_depth_bilinear(new_depth, uv_new)
     s = gather_nearest(new_mask, uv_new).astype(jnp.int32)
-    f = gather_nearest(new_flow, uv_new)
+    f = gather_bilinear(new_flow, uv_new)
     valid = feats.valid & in_b & (d > 0.0) & (d < th_depth)
     return FeatureSet(uv=uv_new, depth=d, flow=f, sem=s, valid=valid)

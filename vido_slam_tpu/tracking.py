@@ -149,7 +149,8 @@ def _track_step(
         state.has_velocity, compose(state.velocity, state.Tcw), state.Tcw
     )
     est = estimate_camera_pose(
-        k_cam, pts3d_stat, cur_stat.uv, cur_stat.valid & state.stat.valid, cam, T_mm
+        k_cam, pts3d_stat, cur_stat.uv, cur_stat.valid & state.stat.valid,
+        cam, T_mm, cam.backproject(cur_stat.uv, cur_stat.depth),
     )
     Tcw = est.T
     velocity = compose(Tcw, inverse_se3(state.Tcw))
@@ -189,9 +190,11 @@ def _track_step(
         & (point_labels[None, :] > 0)
     )
 
+    obj_pc_cur = cam.backproject(cur_obj.uv, cur_obj.depth)
+
     def one(kk, msk, Hm, hm):
         oest = estimate_object_motion(
-            kk, Tcw, pts3d_obj_pre, cur_obj.uv, msk, cam, Hm, hm
+            kk, Tcw, pts3d_obj_pre, cur_obj.uv, msk, cam, Hm, hm, obj_pc_cur
         )
         w = msk.astype(jnp.float32)
         c = jnp.sum(pts3d_obj_pre * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
@@ -294,6 +297,9 @@ class Tracker:
         local_ba: bool = True,
         ba_max_points: int = 1000,
         ba_iters: int = 15,
+        use_imu: bool = False,
+        imu_max_frames: int = 32,
+        imu_max_segments: int = 64,
     ):
         self.cfg = config
         c = config.camera
@@ -312,6 +318,27 @@ class Tracker:
         self.local_ba = local_ba
         self.ba_max_points = ba_max_points
         self.ba_iters = ba_iters
+        # host mirror of track ids handled by ObjectTracker
+        # ---- VIO state (Tracking.cc:112-121, 784-1077) ----
+        self.use_imu = use_imu
+        self.imu_max_frames = imu_max_frames
+        self.imu_max_segments = imu_max_segments
+        self.imu_scale = 1.0           # mScale
+        self.imu_initialized = False
+        self.imu_bias = np.zeros(6, np.float32)
+        self.Rwg: Optional[np.ndarray] = None
+        self._imu_queue: list = []     # pending (a, w, t) measurements
+        self._preints: list = []       # per consecutive-frame-pair states
+        self._last_ts: Optional[float] = None
+        self._last_scale_refine_t = 0.0
+        if use_imu:
+            from vido_slam_tpu.imu.preintegration import ImuCalib
+
+            i = config.imu
+            self.imu_calib = ImuCalib.from_config(
+                i.Tbc, i.noise_gyro, i.noise_acc, i.gyro_walk, i.acc_walk,
+                i.frequency,
+            )
         s = config.system
         self._step = jax.jit(
             partial(
@@ -333,6 +360,170 @@ class Tracker:
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
         return k
+
+    # ------------------------------------------------------------------
+    # VIO: IMU queue + preintegration + initialization
+    # (System.cc:74-75 GrabImuData; Tracking.cc:784-887 PreintegrateIMU;
+    #  :937-1077 InitializeIMU/ScaleRefinement)
+    # ------------------------------------------------------------------
+    def grab_imu_data(self, measurements) -> None:
+        """Queue raw IMU samples; each has .a (3,), .w (3,), .t seconds."""
+        self._imu_queue.extend(measurements)
+
+    def _preintegrate_interval(self, t0: float, t1: float):
+        from vido_slam_tpu.imu.preintegration import (
+            init_preintegration, integrate_measurements, prepare_segments,
+        )
+
+        if not self._imu_queue:
+            return None
+        times = np.asarray([m.t for m in self._imu_queue], np.float64)
+        accs = np.asarray([np.asarray(m.a) for m in self._imu_queue], np.float32)
+        gyros = np.asarray([np.asarray(m.w) for m in self._imu_queue], np.float32)
+        a, w, dt = prepare_segments(times, accs, gyros, t0, t1,
+                                    self.imu_max_segments)
+        st = integrate_measurements(
+            init_preintegration(jnp.asarray(self.imu_bias)),
+            jnp.asarray(a), jnp.asarray(w), jnp.asarray(dt), self.imu_calib,
+        )
+        # drop consumed samples (keep one before t1 for boundary interp)
+        keep = times >= t1 - 0.02
+        self._imu_queue = [m for m, k in zip(self._imu_queue, keep) if k]
+        return jax.device_get(st)
+
+    def _body_poses(self):
+        """Twb_i = Twc_i * Tcb for every frame in the map."""
+        Tbc = np.asarray(self.cfg.imu.Tbc, np.float64)
+        Tcb = np.linalg.inv(Tbc)
+        Rwb, twb = [], []
+        for rec in self.map.frames:
+            Twb = np.linalg.inv(np.asarray(rec.Tcw, np.float64)) @ Tcb
+            Rwb.append(Twb[:3, :3])
+            twb.append(Twb[:3, 3])
+        return np.stack(Rwb), np.stack(twb)
+
+    def _stacked_preints(self, n_pairs: int):
+        M = self.imu_max_frames - 1
+        z33 = np.zeros((3, 3), np.float32)
+        out = {
+            "dts": np.zeros(M, np.float32),
+            "dR": np.tile(np.eye(3, dtype=np.float32), (M, 1, 1)),
+            "dV": np.zeros((M, 3), np.float32),
+            "dP": np.zeros((M, 3), np.float32),
+            "JRg": np.tile(z33, (M, 1, 1)),
+            "JVg": np.tile(z33, (M, 1, 1)),
+            "JVa": np.tile(z33, (M, 1, 1)),
+            "JPg": np.tile(z33, (M, 1, 1)),
+            "JPa": np.tile(z33, (M, 1, 1)),
+            "C9": np.tile(np.eye(9, dtype=np.float32) * 1e-6, (M, 1, 1)),
+        }
+        pv = np.zeros(M, bool)
+        for i, st in enumerate(self._preints[:M]):
+            if st is None:
+                continue
+            out["dts"][i] = st.dT
+            out["dR"][i] = st.dR
+            out["dV"][i] = st.dV
+            out["dP"][i] = st.dP
+            out["JRg"][i] = st.JRg
+            out["JVg"][i] = st.JVg
+            out["JVa"][i] = st.JVa
+            out["JPg"][i] = st.JPg
+            out["JPa"][i] = st.JPa
+            out["C9"][i] = st.C[:9, :9]
+            pv[i] = st.dT > 0
+        return out, pv
+
+    def _try_initialize_imu(self, timestamp: float) -> None:
+        """InitializeIMU (Tracking.cc:937-1044): needs >= 10 frames and
+        >= 2 s of data; estimates gravity/scale/biases and rescales the map."""
+        from vido_slam_tpu.estimation.imu_init import initialize_imu
+
+        n = len(self.map)
+        if n < 10 or n > self.imu_max_frames:
+            return
+        t0 = self.map.frames[0].timestamp
+        if timestamp - t0 < 2.0:
+            return
+        Rwb_np, twb_np = self._body_poses()
+        M = self.imu_max_frames
+        Rwb = np.tile(np.eye(3, dtype=np.float32), (M, 1, 1))
+        twb = np.zeros((M, 3), np.float32)
+        Rwb[:n] = Rwb_np
+        twb[:n] = twb_np
+        pp, pv = self._stacked_preints(n - 1)
+        pv[n - 1:] = False
+        res = initialize_imu(
+            jnp.asarray(Rwb), jnp.asarray(twb),
+            **{k: jnp.asarray(v) for k, v in pp.items()},
+            pair_valid=jnp.asarray(pv),
+            prior_g=1e2, prior_a=1e9,
+        )
+        scale = float(res.scale)
+        if scale < 0.1:  # Tracking.cc:1008-1012
+            return
+        Rwg = np.asarray(res.Rwg, np.float64)
+        self.Rwg = Rwg
+        self.imu_bias = np.concatenate(
+            [np.asarray(res.bg), np.asarray(res.ba)]
+        ).astype(np.float32)
+        if abs(scale - 1.0) > 1e-5:  # Tracking.cc:1016-1020
+            self.map.apply_scaled_rotation(Rwg.T, scale)
+            self.imu_scale *= scale
+            self._rescale_state(scale)
+        self.imu_initialized = True
+        self._last_scale_refine_t = timestamp
+
+    def _rescale_state(self, scale: float) -> None:
+        """Bring the device-side tracking state into the rescaled world:
+        stored feature depths scale with the map (Map::ApplyScaledRotation
+        rescales all 3D structure); velocity and per-bin object motions are
+        invalidated and re-seed on the next frame."""
+        st = self.state
+        self.state = st._replace(
+            stat=st.stat._replace(depth=st.stat.depth * scale),
+            obj=st.obj._replace(depth=st.obj.depth * scale),
+            Tcw=jnp.asarray(self.map.frames[-1].Tcw),
+            has_velocity=jnp.bool_(False),
+            bin_has_motion=jnp.zeros_like(st.bin_has_motion),
+        )
+
+    def _try_scale_refinement(self, timestamp: float) -> None:
+        """ScaleRefinement (Tracking.cc:1046-1077), every ~10 s."""
+        from vido_slam_tpu.estimation.imu_init import (
+            estimate_gravity_direction, linear_alignment,
+        )
+
+        if timestamp - self._last_scale_refine_t < 10.0:
+            return
+        n = min(len(self.map), self.imu_max_frames)
+        recs = self.map.frames[-n:]
+        # gravity/scale only, over the recent window, biases fixed
+        Tbc = np.asarray(self.cfg.imu.Tbc, np.float64)
+        Tcb = np.linalg.inv(Tbc)
+        Rwb, twb = [], []
+        for rec in recs:
+            Twb = np.linalg.inv(np.asarray(rec.Tcw, np.float64)) @ Tcb
+            Rwb.append(Twb[:3, :3])
+            twb.append(Twb[:3, 3])
+        pre = self._preints[-(n - 1):]
+        if not pre or any(p is None for p in pre):
+            return
+        dts = jnp.asarray([p.dT for p in pre])
+        dV = jnp.asarray([p.dV for p in pre])
+        dP = jnp.asarray([p.dP for p in pre])
+        pv = jnp.asarray([p.dT > 0 for p in pre])
+        Rwb_j = jnp.asarray(np.stack(Rwb), jnp.float32)
+        twb_j = jnp.asarray(np.stack(twb), jnp.float32)
+        Rwg0 = estimate_gravity_direction(Rwb_j, dV, pv)
+        _, s, Rwg, _ = linear_alignment(Rwb_j, twb_j, dts, dV, dP, pv, Rwg0)
+        scale = float(s)
+        self._last_scale_refine_t = timestamp
+        if scale < 0.1 or abs(scale - 1.0) <= 1e-5:
+            return
+        self.map.apply_scaled_rotation(np.asarray(Rwg, np.float64).T, scale)
+        self.imu_scale *= scale
+        self._rescale_state(scale)
 
     # ------------------------------------------------------------------
     def initialize(self, depth, flow, mask, Tcw_gt=None, timestamp=0.0):
@@ -378,6 +569,7 @@ class Tracker:
             objects=[], timing={},
         ))
         self.frame_id += 1
+        self._last_ts = float(timestamp)
 
     # ------------------------------------------------------------------
     def track(self, depth, flow, mask, Tcw_gt=None, timestamp=None):
@@ -389,6 +581,14 @@ class Tracker:
         if timestamp is None:
             timestamp = self.frame_id / self.cam.fps
         t_start = time.perf_counter()
+
+        # VIO: preintegrate the IMU over the inter-frame interval
+        # (PreintegrateIMU, Tracking.cc:784-887)
+        if self.use_imu and self._last_ts is not None:
+            self._preints.append(
+                self._preintegrate_interval(self._last_ts, float(timestamp))
+            )
+        self._last_ts = float(timestamp)
 
         depth = jnp.asarray(depth)
         flow = jnp.asarray(flow)
@@ -449,6 +649,14 @@ class Tracker:
             t0 = time.perf_counter()
             Tcw = self._run_window_ba()
             self.map.lba_time.append(time.perf_counter() - t0)
+
+        # ---- VIO init / scale refinement (Tracking.cc:1452-1480) ----
+        if self.use_imu:
+            if not self.imu_initialized:
+                self._try_initialize_imu(float(timestamp))
+            else:
+                self._try_scale_refinement(float(timestamp))
+            Tcw = jnp.asarray(self.map.frames[-1].Tcw)
         return np.asarray(Tcw)
 
     # ------------------------------------------------------------------
