@@ -39,6 +39,104 @@ class WindowProblem(NamedTuple):
     pad: int                 # number of front-pad frames
 
 
+def assemble_full_problem(
+    slam_map: SlamMap,
+    cam: Camera,
+    max_frames: int,
+    max_static: int,
+    max_objects_per_frame: int,
+):
+    """Build the FullBatchOptimization inputs (Optimizer.cc:1235-2178):
+    the static window problem over the WHOLE sequence plus the dynamic
+    side — slot-aligned dynamic point observations, per-frame object motion
+    slots keyed by tracking id, ternary links for slots continuing from the
+    previous frame, and smoothness links between consecutive motions of the
+    same object. Returns (FullBAProblem, static WindowProblem, motion_ids)
+    where motion_ids (F, K) holds each motion slot's tracking id (-1 pad)."""
+    import jax.numpy as jnp
+
+    from vido_slam_tpu.estimation.full_ba import FullBAProblem
+
+    F = max_frames
+    n = min(len(slam_map), F)
+    recs = slam_map.frames[len(slam_map) - n:]
+    pad = F - n
+    K = max_objects_per_frame
+    Nd = recs[0].obj_uv.shape[0]
+
+    stat = assemble_static_window(slam_map, cam, F, max_static)
+
+    frame_valid = np.zeros(F, bool)
+    frame_valid[pad:] = True
+
+    dobs = np.zeros((F, Nd, 3), np.float32)
+    dobs_valid = np.zeros((F, Nd), bool)
+    D0 = np.zeros((F, Nd, 3), np.float32)
+    tern_valid = np.zeros((F, Nd), bool)
+    midx = np.zeros((F, Nd), np.int32)
+    H0 = np.tile(np.eye(4, dtype=np.float32), (F, K, 1, 1))
+    motion_valid = np.zeros((F, K), bool)
+    smooth_valid = np.zeros((F, K), bool)
+    motion_ids = np.full((F, K), -1, np.int32)
+
+    prev_labels = None
+    prev_valid = None
+    for fi, rec in enumerate(recs):
+        f = pad + fi
+        # motion slots for this frame, ordered by track id
+        obs_ok = [ob for ob in rec.objects if ob.status][:K]
+        tid_to_k = {}
+        for k, ob in enumerate(obs_ok):
+            H0[f, k] = ob.motion
+            motion_valid[f, k] = True
+            motion_ids[f, k] = ob.track_id
+            tid_to_k[ob.track_id] = k
+        if fi > 0:
+            for k in range(K):
+                tid = motion_ids[f, k]
+                if tid >= 0 and tid in motion_ids[f - 1]:
+                    smooth_valid[f, k] = True
+
+        labels = rec.obj_label
+        valid = rec.obj_valid & (labels > 0)
+        # map point label (track id) to this frame's motion slot
+        k_of = np.full(labels.shape[0], -1, np.int32)
+        for tid, k in tid_to_k.items():
+            k_of[labels == tid] = k
+        use = valid & (k_of >= 0)
+        dobs[f][use] = _backproject_np(
+            cam, rec.obj_uv[use], rec.obj_depth[use]
+        )
+        dobs_valid[f] = use
+        D0[f] = rec.obj_3d
+        midx[f][use] = k_of[use]
+        if prev_labels is not None:
+            cont = use & ~rec.obj_is_new & (prev_labels == labels) & prev_valid
+            tern_valid[f] = cont
+        prev_labels = labels
+        prev_valid = use
+
+    prob = FullBAProblem(
+        Twc0=jnp.asarray(stat.Twc0),
+        frame_valid=jnp.asarray(frame_valid),
+        odom=jnp.asarray(stat.odom),
+        odom_valid=jnp.asarray(stat.odom_valid),
+        X0=jnp.asarray(stat.X0),
+        sobs=jnp.asarray(stat.obs),
+        sobs_valid=jnp.asarray(stat.obs_valid),
+        spoint_valid=jnp.asarray(stat.point_valid),
+        D0=jnp.asarray(D0),
+        dobs=jnp.asarray(dobs),
+        dobs_valid=jnp.asarray(dobs_valid),
+        tern_valid=jnp.asarray(tern_valid),
+        midx=jnp.asarray(midx),
+        H0=jnp.asarray(H0),
+        motion_valid=jnp.asarray(motion_valid),
+        smooth_valid=jnp.asarray(smooth_valid),
+    )
+    return prob, stat, motion_ids
+
+
 def _backproject_np(cam: Camera, uv: np.ndarray, depth: np.ndarray) -> np.ndarray:
     fx, fy = float(cam.fx), float(cam.fy)
     cx, cy = float(cam.cx), float(cam.cy)

@@ -660,6 +660,37 @@ class Tracker:
         return np.asarray(Tcw)
 
     # ------------------------------------------------------------------
+    def run_full_batch(self, max_frames: int = 64, max_static: int = 2000,
+                       cg_iters: int = 60, max_iters: int = 15):
+        """FullBatchOptimization (Optimizer.cc:1235-2178): whole-sequence
+        BA with object motions and dynamic points; results go to the
+        REFINED slots (map.refined_poses / refined_motions), mirroring
+        vmCameraPose_RF / vmRigidMotion_RF (Optimizer.cc:2116-2133)."""
+        from vido_slam_tpu.estimation.assembly import assemble_full_problem
+        from vido_slam_tpu.estimation.full_ba import solve_full_ba
+
+        prob, stat, motion_ids = assemble_full_problem(
+            self.map, self.cam, max_frames, max_static, self.max_objects
+        )
+        res = solve_full_ba(prob, max_iters=max_iters, cg_iters=cg_iters)
+        Twc, H = jax.device_get((res.Twc, res.H))
+        pad = stat.pad
+        n = len(stat.frame_ids)
+        self.map.refined_poses = np.stack(
+            [np.linalg.inv(Twc[pad + i]).astype(np.float32) for i in range(n)]
+        )
+        refined: dict = {}
+        mv = np.asarray(prob.motion_valid)
+        for fi in range(n):
+            f = pad + fi
+            for k in range(self.max_objects):
+                tid = int(motion_ids[f, k])
+                if tid >= 0 and mv[f, k]:
+                    refined.setdefault(tid, {})[stat.frame_ids[fi]] = H[f, k]
+        self.map.refined_motions = refined
+        return res
+
+    # ------------------------------------------------------------------
     def _run_window_ba(self):
         """Assemble + solve the static window BA and write results back
         (reference Tracking.cc:1431-1447 -> Optimizer.cc:43-1228; partial
