@@ -1,0 +1,129 @@
+import os
+
+import numpy as np
+import pytest
+
+from vido_slam_tpu.io.datasets import (
+    demosaic_bayer_bg2bgr,
+    load_kaist_image_list,
+    load_kaist_imu,
+    read_flo,
+    sibling_input_paths,
+    write_flo,
+)
+from vido_slam_tpu.io.results import save_results_ijrr2020
+from vido_slam_tpu.slam_map import FrameRecord, ObjectObservation, SlamMap
+
+
+class TestFlo:
+    def test_roundtrip(self, tmp_path):
+        flow = np.random.RandomState(0).randn(12, 16, 2).astype(np.float32)
+        p = str(tmp_path / "x.flo")
+        write_flo(p, flow)
+        back = read_flo(p)
+        np.testing.assert_array_equal(back, flow)
+
+    def test_matches_opencv(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        flow = np.random.RandomState(1).randn(8, 10, 2).astype(np.float32)
+        p = str(tmp_path / "y.flo")
+        write_flo(p, flow)
+        ref = cv2.readOpticalFlow(p)
+        np.testing.assert_array_equal(ref, flow)
+
+    def test_bad_magic(self, tmp_path):
+        p = tmp_path / "bad.flo"
+        p.write_bytes(b"\x00" * 16)
+        with pytest.raises(ValueError):
+            read_flo(str(p))
+
+
+class TestDemosaic:
+    def test_shape_and_range(self):
+        raw = np.random.RandomState(2).randint(0, 255, (64, 96), np.uint8)
+        bgr = demosaic_bayer_bg2bgr(raw)
+        assert bgr.shape == (64, 96, 3)
+        assert bgr.dtype == np.uint8
+
+    def test_constant_image(self):
+        raw = np.full((32, 32), 100, np.uint8)
+        bgr = demosaic_bayer_bg2bgr(raw)
+        np.testing.assert_allclose(bgr, 100, atol=1)
+
+
+class TestKaistLists:
+    def test_image_list(self, tmp_path):
+        img_dir = tmp_path / "seq" / "stereo_left"
+        img_dir.mkdir(parents=True)
+        (tmp_path / "seq" / "vTimestampsImage.txt").write_text(
+            "header\n1560000000000000000\n1560000000100000000\n"
+        )
+        frames = load_kaist_image_list(str(img_dir))
+        assert len(frames) == 2
+        assert frames[0].image_path.endswith("1560000000000000000.png")
+        assert frames[0].timestamp == pytest.approx(1.56e18 / 1e9)
+        assert frames[1].timestamp - frames[0].timestamp == pytest.approx(0.1)
+
+    def test_imu_csv(self, tmp_path):
+        p = tmp_path / "xsens_imu.csv"
+        cols = ["1560000000000000000"] + ["0"] * 7 + \
+            ["0.1", "0.2", "0.3", "9.0", "0.5", "-9.7"]
+        p.write_text("# comment\n" + ",".join(cols) + "\n")
+        times, accs, gyros = load_kaist_imu(str(p))
+        assert times.shape == (1,)
+        np.testing.assert_allclose(gyros[0], [0.1, 0.2, 0.3])
+        np.testing.assert_allclose(accs[0], [9.0, 0.5, -9.7])
+
+    def test_sibling_paths(self):
+        f, d, m = sibling_input_paths("/data/seq/image/000123.png")
+        assert f == "/data/seq/flow/000123.flo"
+        assert d == "/data/seq/depth/000123.png"
+        assert m == "/data/seq/mask/000123.png"
+
+
+class TestResultWriters:
+    def make_map(self):
+        m = SlamMap()
+        N = 4
+        for i in range(3):
+            m.add_frame(FrameRecord(
+                frame_id=i, timestamp=i * 0.1,
+                Tcw=np.eye(4, dtype=np.float32),
+                Tcw_gt=np.eye(4, dtype=np.float32),
+                stat_uv=np.zeros((N, 2), np.float32),
+                stat_depth=np.zeros(N, np.float32),
+                stat_valid=np.zeros(N, bool),
+                stat_is_new=np.zeros(N, bool),
+                stat_3d=np.zeros((N, 3), np.float32),
+                obj_uv=np.zeros((N, 2), np.float32),
+                obj_depth=np.zeros(N, np.float32),
+                obj_valid=np.zeros(N, bool),
+                obj_is_new=np.zeros(N, bool),
+                obj_sem=np.zeros(N, np.int32),
+                obj_label=np.zeros(N, np.int32),
+                obj_3d=np.zeros((N, 3), np.float32),
+                objects=[ObjectObservation(
+                    track_id=1, sem_value=3, motion=np.eye(4, dtype=np.float32),
+                    speed_kmh=10.0, centroid=np.zeros(3), num_inliers=100,
+                    status=True,
+                )] if i > 0 else [],
+                timing={"cam_pose": 0.01},
+            ))
+        return m
+
+    def test_files_written(self, tmp_path):
+        m = self.make_map()
+        prefix = str(tmp_path / "out_")
+        means = save_results_ijrr2020(m, prefix, timing_summary=False)
+        for suffix in ["obj_mot_rgbd_new.txt", "initial_rgbd_new.txt",
+                       "refined_rgbd_new.txt", "cam_pose_gt.txt"]:
+            assert os.path.exists(prefix + suffix), suffix
+        lines = open(prefix + "initial_rgbd_new.txt").read().splitlines()
+        assert len(lines) == 3
+        parts = lines[0].split()
+        assert len(parts) == 17  # frame + 16 pose floats
+        assert parts[0] == "0"
+        obj_lines = open(prefix + "obj_mot_rgbd_new.txt").read().splitlines()
+        assert len(obj_lines) == 2
+        assert obj_lines[0].split()[:2] == ["2", "1"]  # frame+1, label
+        assert means["cam_pose"] == pytest.approx(0.01)
