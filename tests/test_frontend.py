@@ -258,3 +258,47 @@ class TestObjectStats:
         pts2 = make_points(200, 5, (64, 48), sf=1.0, sem_prev=3)
         _, objs2 = tracker.assign_ids(compute_object_stats(**pts2, **self.kw()))
         assert objs2[0].track_id == 2  # new id, not inherited
+
+
+class TestUpdateMask:
+    def test_recovers_lost_object(self):
+        from vido_slam_tpu.frontend.association import update_mask
+        import jax.numpy as jnp
+
+        last = jnp.zeros((H, W), jnp.int32).at[20:40, 30:60].set(5)
+        flow = jnp.zeros((H, W, 2)).at[20:40, 30:60, 0].set(4.0)
+        cur = jnp.zeros((H, W), jnp.int32)
+        out = np.asarray(update_mask(cur, last, flow))
+        assert (out == 5).sum() > 0.9 * (20 * 30)
+        # shifted right by 4: columns [34, 64)
+        assert out[30, 31] == 0 and out[30, 40] == 5
+
+    def test_does_not_overwrite_detections(self):
+        from vido_slam_tpu.frontend.association import update_mask
+        import jax.numpy as jnp
+
+        last = jnp.zeros((H, W), jnp.int32).at[20:40, 30:60].set(5)
+        flow = jnp.zeros((H, W, 2))
+        cur = jnp.zeros((H, W), jnp.int32).at[20:40, 30:60].set(7)
+        out = np.asarray(update_mask(cur, last, flow))
+        assert (out == 5).sum() == 0  # 7 has pixels, 5's region occupied
+
+    def test_present_label_not_propagated(self):
+        from vido_slam_tpu.frontend.association import update_mask
+        import jax.numpy as jnp
+
+        last = jnp.zeros((H, W), jnp.int32).at[20:40, 30:60].set(5)
+        flow = jnp.zeros((H, W, 2)).at[:, :, 0].set(10.0)
+        cur = jnp.zeros((H, W), jnp.int32).at[50:60, 50:60].set(5)
+        out = np.asarray(update_mask(cur, last, flow))
+        np.testing.assert_array_equal(out, np.asarray(cur))
+
+    def test_small_region_not_recovered(self):
+        from vido_slam_tpu.frontend.association import update_mask
+        import jax.numpy as jnp
+
+        last = jnp.zeros((H, W), jnp.int32).at[20:25, 30:35].set(5)  # 25 px
+        flow = jnp.zeros((H, W, 2))
+        cur = jnp.zeros((H, W), jnp.int32)
+        out = np.asarray(update_mask(cur, last, flow))
+        assert (out == 5).sum() == 0

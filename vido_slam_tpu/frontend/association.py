@@ -1,0 +1,51 @@
+"""Mask propagation — Tracking::UpdateMask (reference
+vido_slam/src/Tracking.cc:3291-3529), vectorised.
+
+When the instance detector misses an object that was present in the previous
+frame (its semantic value has >= 100 px in the last mask but none in the
+current one, Tracking.cc:3325), the previous mask is forward-warped through
+the previous frame's optical flow and stamped into the current mask where it
+is still background. The per-pixel loops become one scatter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vido_slam_tpu.frontend.objects import MAX_SEM
+
+MIN_RECOVER_PX = 100  # Tracking.cc:3325
+
+
+@jax.jit
+def update_mask(
+    cur_mask: jnp.ndarray,   # (H, W) int32 current semantic mask
+    last_mask: jnp.ndarray,  # (H, W) int32 previous mask
+    last_flow: jnp.ndarray,  # (H, W, 2) previous frame's forward flow
+) -> jnp.ndarray:
+    """Returns the repaired current mask."""
+    H, W = cur_mask.shape
+    last_c = jnp.clip(last_mask, 0, MAX_SEM - 1)
+    cur_c = jnp.clip(cur_mask, 0, MAX_SEM - 1)
+    ones = jnp.ones((H, W), jnp.float32)
+    last_count = jnp.zeros(MAX_SEM, jnp.float32).at[last_c].add(ones)
+    cur_count = jnp.zeros(MAX_SEM, jnp.float32).at[cur_c].add(ones)
+    recover = (last_count >= MIN_RECOVER_PX) & (cur_count == 0)
+    recover = recover.at[0].set(False)
+
+    # forward-warp the recovered labels
+    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    tx = jnp.round(uu + last_flow[..., 0]).astype(jnp.int32)
+    ty = jnp.round(vv + last_flow[..., 1]).astype(jnp.int32)
+    src_val = jnp.where(recover[last_c], last_c, 0)
+    in_b = (tx >= 0) & (tx < W) & (ty >= 0) & (ty < H) & (src_val > 0)
+    tx = jnp.where(in_b, tx, 0)
+    ty = jnp.where(in_b, ty, 0)
+    warped = jnp.zeros((H, W), jnp.int32).at[ty, tx].max(
+        jnp.where(in_b, src_val, 0)
+    )
+    return jnp.where((cur_mask == 0) & (warped > 0), warped, cur_mask)

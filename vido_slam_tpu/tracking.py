@@ -54,6 +54,7 @@ from vido_slam_tpu.frontend.objects import (
     assign_point_labels,
     compute_object_stats,
 )
+from vido_slam_tpu.frontend.association import update_mask
 from vido_slam_tpu.frontend.renewal import renew_features
 from vido_slam_tpu.frontend.sceneflow import scene_flow_world, unproject_to_world
 from vido_slam_tpu.geometry.camera import Camera
@@ -76,6 +77,9 @@ class TrackState(NamedTuple):
     # for vObjMod + nSemPosition lookup, Tracking.cc:2095-2101)
     bin_motion: jnp.ndarray      # (MAX_SEM, 4, 4)
     bin_has_motion: jnp.ndarray  # (MAX_SEM,) bool
+    # previous frame's mask + flow for UpdateMask (Tracking.cc:3291-3529)
+    last_mask: jnp.ndarray       # (H, W) int32
+    last_flow: jnp.ndarray       # (H, W, 2)
 
 
 class StepOutputs(NamedTuple):
@@ -137,6 +141,9 @@ def _track_step(
     width: int,
 ):
     k_cam, k_obj, k_fresh = jax.random.split(key, 3)
+
+    # -- 0. mask repair: recover objects the detector missed ---------
+    mask = update_mask(mask, state.last_mask, state.last_flow)
 
     # -- 1. inherit correspondences ---------------------------------
     cur_stat = propagate_features(state.stat, depth, mask, flow, th_depth=th_depth_bg)
@@ -254,6 +261,8 @@ def _track_step(
         has_velocity=jnp.bool_(True),
         bin_motion=bin_motion,
         bin_has_motion=bin_has_motion,
+        last_mask=mask,
+        last_flow=flow,
     )
     outputs = StepOutputs(
         Tcw=Tcw,
@@ -548,6 +557,8 @@ class Tracker:
             has_velocity=jnp.bool_(False),
             bin_motion=jnp.tile(jnp.eye(4), (MAX_SEM, 1, 1)),
             bin_has_motion=jnp.zeros(MAX_SEM, bool),
+            last_mask=mask,
+            last_flow=flow,
         )
         stat_3d = unproject_to_world(self.cam, stat.uv, stat.depth, Tcw)
         obj_3d = unproject_to_world(self.cam, obj.uv, obj.depth, Tcw)
