@@ -105,17 +105,19 @@ def sample_background_features(
     mask: jnp.ndarray,    # (H, W) int32 semantic mask, 0 = background
     depth: jnp.ndarray,   # (H, W) float32 metric depth (0 = invalid)
     flow: jnp.ndarray,    # (H, W, 2) float32 forward flow
+    score_map: jnp.ndarray = None,  # (H, W) detector scores (FAST) or None
     *,
     n: int = 3000,        # MaxTrackPointBG (kaist_config.yaml:62)
     th_depth: float = 80.0,  # ThDepthBG
     grid: int = 20,       # SampleKeyPoints grid (Frame.cc:888-958)
 ) -> FeatureSet:
-    """Grid-stratified random sampling of background features.
+    """Grid-stratified background feature selection.
 
     Eligibility: mask==0, 0 < depth < th_depth, and the flow target stays
-    in-bounds. Each eligible pixel draws a uniform priority plus a bonus that
-    spreads picks across a `grid` x `grid` tiling (the reference samples
-    3 points per 20x20 cell); top-n priorities win slots.
+    in-bounds. Without `score_map` the in-cell priority is uniform random
+    (UseSampleFeature=1, SampleKeyPoints Frame.cc:888-958); with a detector
+    score map (ops/fast.py) the strongest corners win within each cell
+    (UseSampleFeature=0, the reference's default detected-features mode).
     """
     H, W = depth.shape
     uu, vv = _pixel_grid(H, W)
@@ -132,13 +134,18 @@ def sample_background_features(
     )
 
     # Stratification via rank-within-cell: tile the image into a grid x grid
-    # cell layout, rank each eligible pixel by random noise inside its cell,
-    # and use (-rank + noise) as the global priority. A global top-n then
-    # fills one point per cell, then two, etc. — per-cell spreading like the
-    # reference's sampler, but degrading gracefully to "take everything"
-    # when few cells are populated. All shapes static.
+    # cell layout, rank each eligible pixel inside its cell (by detector
+    # score when given, else random noise), and use (-rank + tiebreak) as the
+    # global priority. A global top-n then fills one point per cell, then
+    # two, etc. — the reference's per-cell spreading / quadtree distribution,
+    # degrading gracefully to "take everything" when few cells are populated.
     noise = jax.random.uniform(key, (H, W))
-    prio = jnp.where(eligible, noise, -jnp.inf)
+    if score_map is not None:
+        eligible = eligible & (score_map > 0)
+        prio_in_cell = score_map + noise * 1e-3
+    else:
+        prio_in_cell = noise
+    prio = jnp.where(eligible, prio_in_cell, -jnp.inf)
 
     ch = -(-H // grid)  # cell height (ceil)
     cw = -(-W // grid)
@@ -151,7 +158,8 @@ def sample_background_features(
     )
     order = jnp.argsort(-cells, axis=1)
     ranks = jnp.argsort(order, axis=1).astype(jnp.float32)
-    global_prio = jnp.where(jnp.isfinite(cells), -ranks + cells, -jnp.inf)
+    tie = cells / jnp.maximum(jnp.max(jnp.abs(cells), initial=1.0), 1.0)
+    global_prio = jnp.where(jnp.isfinite(cells), -ranks + tie, -jnp.inf)
     _, sel = jax.lax.top_k(global_prio.reshape(-1), n)
     valid = jnp.isfinite(global_prio.reshape(-1)[sel])
     # recover padded-image coordinates of the winners

@@ -141,9 +141,13 @@ class System:
         )
         if self.sensor == Sensor.IMU_RGBD and imu_measurements:
             self.tracker.grab_imu_data(imu_measurements)
+        gray = None
+        if im is not None:
+            im = np.asarray(im)
+            gray = im.mean(axis=-1) if im.ndim == 3 else im
         Tcw = self.tracker.track(
             depth, jnp.asarray(flow), jnp.asarray(masksem, jnp.int32),
-            Tcw_gt=mTcw_gt, timestamp=timestamp,
+            Tcw_gt=mTcw_gt, timestamp=timestamp, image=gray,
         )
         self.scale = self.tracker.imu_scale
         return Tcw

@@ -127,9 +127,11 @@ def _track_step(
     depth: jnp.ndarray,
     flow: jnp.ndarray,
     mask: jnp.ndarray,
+    gray: jnp.ndarray,
     key: jnp.ndarray,
     cam: Camera,
     *,
+    use_fast: bool,
     n_bg: int,
     n_obj: int,
     max_objects: int,
@@ -232,8 +234,13 @@ def _track_step(
     obj_inlier_any = jnp.any(obj_inl & obj_masks, axis=0)
 
     # -- 6. renewal --------------------------------------------------
+    score_map = None
+    if use_fast:
+        from vido_slam_tpu.ops.fast import fast_score_map
+
+        score_map = fast_score_map(gray)
     fresh_bg = sample_background_features(
-        k_fresh, mask, depth, flow, n=n_bg, th_depth=th_depth_bg
+        k_fresh, mask, depth, flow, score_map, n=n_bg, th_depth=th_depth_bg
     )
     fresh_obj = sample_object_points(
         mask, depth, flow, n=n_obj, th_depth=th_depth_obj
@@ -349,10 +356,18 @@ class Tracker:
                 i.frequency,
             )
         s = config.system
+        # UseSampleFeature: 0 = detected FAST corners (needs the gray image),
+        # 1 = grid-random sampling (kaist_config.yaml:78, Tracking.cc:167)
+        self.use_fast = not s.use_sample_feature
+        self._build_step()
+
+    def _build_step(self):
+        s = self.cfg.system
         self._step = jax.jit(
             partial(
                 _track_step,
                 cam=self.cam,
+                use_fast=self.use_fast,
                 n_bg=self.n_bg,
                 n_obj=self.n_obj,
                 max_objects=self.max_objects,
@@ -535,14 +550,20 @@ class Tracker:
         self._rescale_state(scale)
 
     # ------------------------------------------------------------------
-    def initialize(self, depth, flow, mask, Tcw_gt=None, timestamp=0.0):
+    def initialize(self, depth, flow, mask, Tcw_gt=None, timestamp=0.0,
+                   image=None):
         """First frame (Tracking::Initialization, Tracking.cc:1512-1580):
         sample features, pose = identity, push to map."""
         depth = jnp.asarray(depth)
         flow = jnp.asarray(flow)
         mask = jnp.asarray(mask, jnp.int32)
+        score_map = None
+        if self.use_fast and image is not None:
+            from vido_slam_tpu.ops.fast import fast_score_map
+
+            score_map = fast_score_map(jnp.asarray(image, jnp.float32))
         stat = sample_background_features(
-            self._next_key(), mask, depth, flow,
+            self._next_key(), mask, depth, flow, score_map,
             n=self.n_bg, th_depth=self.cfg.system.th_depth_bg,
         )
         obj = sample_object_points(
@@ -583,11 +604,20 @@ class Tracker:
         self._last_ts = float(timestamp)
 
     # ------------------------------------------------------------------
-    def track(self, depth, flow, mask, Tcw_gt=None, timestamp=None):
-        """Process one frame; returns the new camera pose (4,4) np array."""
+    def track(self, depth, flow, mask, Tcw_gt=None, timestamp=None,
+              image=None):
+        """Process one frame; returns the new camera pose (4,4) np array.
+        `image` is the grayscale frame for detected-feature mode (FAST);
+        without it the tracker falls back to grid-random sampling."""
+        if image is None and self.use_fast:
+            self.use_fast = False
+            self._build_step()
+        gray = (jnp.zeros((self.cam.height, self.cam.width), jnp.float32)
+                if image is None else jnp.asarray(image, jnp.float32))
         if self.state is None:
             self.initialize(depth, flow, mask, Tcw_gt,
-                            timestamp if timestamp is not None else 0.0)
+                            timestamp if timestamp is not None else 0.0,
+                            image=image)
             return np.eye(4, dtype=np.float32)
         if timestamp is None:
             timestamp = self.frame_id / self.cam.fps
@@ -605,7 +635,8 @@ class Tracker:
         flow = jnp.asarray(flow)
         mask = jnp.asarray(mask, jnp.int32)
 
-        new_state, out = self._step(self.state, depth, flow, mask, self._next_key())
+        new_state, out = self._step(self.state, depth, flow, mask, gray,
+                                    self._next_key())
         self.state = new_state
 
         # ---- single batched host fetch -----------------------------
