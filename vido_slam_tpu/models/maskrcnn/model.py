@@ -19,6 +19,7 @@ from typing import Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 from vido_slam_tpu.models.layers import Params
@@ -135,39 +136,57 @@ def paste_semantic_mask(
 
     masks = jnp.pad(out.masks28, ((0, 0), (1, 1), (1, 1)))  # (D, 30, 30)
 
-    ii = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)  # x
-    jj = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)  # y
+    xs = jax.lax.broadcasted_iota(jnp.float32, (out_w, 1), 0)[:, 0]  # (W,)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (out_h, 1), 0)[:, 0]  # (H,)
+    ks = jax.lax.broadcasted_iota(jnp.float32, (30, 1), 0)[:, 0]     # (30,)
 
-    def paste_one(args):
-        m, bx0, bx1, by0, by1, lab, ok = args
+    # Bilinear resampling of a 30x30 mask over an axis-aligned box is
+    # SEPARABLE: val = Ry @ M @ Rx^T with hat-function weight matrices.
+    # Two small matmuls per detection beat per-pixel gathers by ~100x on TPU
+    # (generic gather is the slowest primitive on this hardware).
+    def paste_chunk(acc, args):
+        m, bx0, bx1, by0, by1, lab, ok = args  # chunked (C, ...)
         w = jnp.maximum(bx1 - bx0 + 1, 1.0)
         h = jnp.maximum(by1 - by0 + 1, 1.0)
-        # torch F.interpolate(align_corners=False) inverse map
-        u = (ii - bx0 + 0.5) / w * 30.0 - 0.5
-        v = (jj - by0 + 0.5) / h * 30.0 - 0.5
-        u0 = jnp.floor(u)
-        v0 = jnp.floor(v)
-        fu, fv = u - u0, v - v0
-        u0i = jnp.clip(u0.astype(jnp.int32), 0, 29)
-        v0i = jnp.clip(v0.astype(jnp.int32), 0, 29)
-        u1i = jnp.clip(u0i + 1, 0, 29)
-        v1i = jnp.clip(v0i + 1, 0, 29)
-        val = (
-            m[v0i, u0i] * (1 - fu) * (1 - fv)
-            + m[v0i, u1i] * fu * (1 - fv)
-            + m[v1i, u0i] * (1 - fu) * fv
-            + m[v1i, u1i] * fu * fv
+        u = (xs[None, :] - bx0[:, None] + 0.5) / w[:, None] * 30.0 - 0.5
+        v = (ys[None, :] - by0[:, None] + 0.5) / h[:, None] * 30.0 - 0.5
+        u = jnp.clip(u, 0.0, 29.0)
+        v = jnp.clip(v, 0.0, 29.0)
+        Rx = jnp.maximum(0.0, 1.0 - jnp.abs(u[:, :, None] - ks))  # (C, W, 30)
+        Ry = jnp.maximum(0.0, 1.0 - jnp.abs(v[:, :, None] - ks))  # (C, H, 30)
+        val = jnp.einsum(
+            "chk,ckl,cwl->chw", Ry, m, Rx,
+            precision=lax.Precision.DEFAULT,
         )
-        inside = (ii >= bx0) & (ii <= bx1) & (jj >= by0) & (jj <= by1)
-        binary = (val > mask_threshold) & inside & ok
-        return binary.astype(jnp.uint8) * lab.astype(jnp.uint8)
+        row_in = (ys[None, :] >= by0[:, None]) & (ys[None, :] <= by1[:, None])
+        col_in = (xs[None, :] >= bx0[:, None]) & (xs[None, :] <= bx1[:, None])
+        binary = (
+            (val > mask_threshold)
+            & row_in[:, :, None]
+            & col_in[:, None, :]
+            & ok[:, None, None]
+        )
+        contrib = jnp.sum(
+            binary.astype(jnp.int32) * lab[:, None, None].astype(jnp.int32),
+            axis=0,
+        )
+        return acc + contrib, None
 
-    contribs = jax.lax.map(
-        paste_one,
-        (masks, ex0, ex1, ey0, ey1, out.labels, out.valid),
-        batch_size=chunk,
-    )
-    return jnp.sum(contribs.astype(jnp.uint8), axis=0, dtype=jnp.uint8)
+    D = masks.shape[0]
+    C = chunk
+    n_chunks = -(-D // C)
+    pad_to = n_chunks * C
+
+    def padc(x):
+        return jnp.pad(x, [(0, pad_to - D)] + [(0, 0)] * (x.ndim - 1)).reshape(
+            (n_chunks, C) + x.shape[1:]
+        )
+
+    args = (padc(masks), padc(ex0), padc(ex1), padc(ey0), padc(ey1),
+            padc(out.labels), padc(out.valid))
+    acc, _ = lax.scan(paste_chunk, jnp.zeros((out_h, out_w), jnp.int32), args)
+    # uint8 wrap-around like the reference's numpy += loop
+    return (acc % 256).astype(jnp.uint8)
 
 
 def init_maskrcnn_params(key, cfg: MaskRCNNConfig = RESNET50_FPN) -> Params:
