@@ -185,3 +185,93 @@ def init_monodepth2_params(key) -> Params:
     for s in range(4):
         add_conv(f"decoder.{10 + s}.conv", NUM_CH_DEC[s], 1, 3, bias=True)
     return p
+
+
+# ---------------------------------------------------------------------------
+# Pose networks (reference src/thirdparty/mono_depth2/src/networks/
+# pose_decoder.py, pose_cnn.py — the self-supervised training heads; kept for
+# model-family parity and for fine-tuning support)
+# ---------------------------------------------------------------------------
+
+def pose_decoder_forward(
+    p: Params, feats_last: List[jnp.ndarray], prefix: str = "pose_decoder",
+    num_frames: int = 1,
+):
+    """PoseDecoder (pose_decoder.py:14-54): squeeze each input's last
+    feature with a 1x1 conv + relu, concat, 3 convs, global mean ->
+    0.01-scaled (axisangle, translation). feats_last: list of (N, h, w, C)."""
+    from vido_slam_tpu.models.layers import relu as _relu
+
+    cat = [
+        _relu(conv2d(f, p[f"{prefix}.convs.squeeze.weight"],
+                     p[f"{prefix}.convs.squeeze.bias"]))
+        for f in feats_last
+    ]
+    out = jnp.concatenate(cat, axis=-1)
+    for i in range(3):
+        w = p[f"{prefix}.convs.pose.{i}.weight"]
+        b = p[f"{prefix}.convs.pose.{i}.bias"]
+        pad = 1 if w.shape[0] == 3 else 0
+        out = conv2d(out, w, b, padding=pad)
+        if i != 2:
+            out = _relu(out)
+    out = jnp.mean(out, axis=(1, 2))  # (N, 6*num_frames)
+    out = 0.01 * out.reshape(out.shape[0], num_frames, 1, 6)
+    return out[..., :3], out[..., 3:]
+
+
+def pose_cnn_forward(p: Params, x: jnp.ndarray, prefix: str = "pose_cnn",
+                     num_input_frames: int = 2):
+    """PoseCNN (pose_cnn.py:14-50): 7-conv strided trunk over concatenated
+    frames -> 0.01-scaled (axisangle, translation)."""
+    from vido_slam_tpu.models.layers import relu as _relu
+
+    specs = [(7, 2, 3), (5, 2, 2)] + [(3, 2, 1)] * 5
+    for i, (k, s, pd) in enumerate(specs):
+        x = _relu(conv2d(x, p[f"{prefix}.convs.{i}.weight"],
+                         p[f"{prefix}.convs.{i}.bias"], stride=s, padding=pd))
+    x = conv2d(x, p[f"{prefix}.pose_conv.weight"], p[f"{prefix}.pose_conv.bias"])
+    out = jnp.mean(x, axis=(1, 2))
+    nf = num_input_frames - 1
+    out = 0.01 * out.reshape(out.shape[0], nf, 1, 6)
+    return out[..., :3], out[..., 3:]
+
+
+def init_pose_decoder_params(key, num_input_features: int = 1,
+                             num_frames: int = 1,
+                             prefix: str = "pose_decoder") -> Params:
+    p: Dict[str, jnp.ndarray] = {}
+    keys = iter(jax.random.split(key, 10))
+
+    def add(name, cin, cout, k):
+        p[f"{prefix}.{name}.weight"] = (
+            jax.random.normal(next(keys), (k, k, cin, cout))
+            / jnp.sqrt(cin * k * k)
+        )
+        p[f"{prefix}.{name}.bias"] = jnp.zeros(cout)
+
+    add("convs.squeeze", NUM_CH_ENC[-1], 256, 1)
+    add("convs.pose.0", num_input_features * 256, 256, 3)
+    add("convs.pose.1", 256, 256, 3)
+    add("convs.pose.2", 256, 6 * num_frames, 1)
+    return p
+
+
+def init_pose_cnn_params(key, num_input_frames: int = 2,
+                         prefix: str = "pose_cnn") -> Params:
+    p: Dict[str, jnp.ndarray] = {}
+    keys = iter(jax.random.split(key, 10))
+    chans = [3 * num_input_frames, 16, 32, 64, 128, 256, 256, 256]
+    ks = [7, 5, 3, 3, 3, 3, 3]
+
+    def add(name, cin, cout, k):
+        p[f"{prefix}.{name}.weight"] = (
+            jax.random.normal(next(keys), (k, k, cin, cout))
+            / jnp.sqrt(cin * k * k)
+        )
+        p[f"{prefix}.{name}.bias"] = jnp.zeros(cout)
+
+    for i in range(7):
+        add(f"convs.{i}", chans[i], chans[i + 1], ks[i])
+    add("pose_conv", 256, 6 * (num_input_frames - 1), 1)
+    return p
