@@ -1,0 +1,91 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vido_slam_tpu.config import config_from_dict
+from vido_slam_tpu.io.synthetic import SyntheticSequence, simple_scene
+from vido_slam_tpu.tracking import Tracker
+from vido_slam_tpu.utils.checkpoint import (
+    load_params,
+    load_session,
+    save_params,
+    save_session,
+    save_torch_state_dict,
+)
+from vido_slam_tpu.viz import plot_metric_error, plot_trajectory, save_speed_plot
+
+
+def run_short_sequence(n_frames=5, seed=0):
+    scene = simple_scene(width=256, height=160, moving_box=True, box_speed=0.6)
+    from vido_slam_tpu.geometry.se3 import make_se3
+
+    dT = np.asarray(make_se3(jnp.eye(3), jnp.array([0.0, 0.0, -0.4])))
+    seq = SyntheticSequence(scene, [dT], n_frames=n_frames)
+    cfg = config_from_dict({
+        "Camera.width": scene.cam.width, "Camera.height": scene.cam.height,
+        "Camera.fx": float(scene.cam.fx), "Camera.fy": float(scene.cam.fy),
+        "Camera.cx": float(scene.cam.cx), "Camera.cy": float(scene.cam.cy),
+        "Camera.bf": float(scene.cam.bf), "MaxTrackPointBG": 600,
+        "WINDOW_SIZE": 5,
+    })
+    tracker = Tracker(cfg, n_bg=600, n_obj=1500, max_objects=4, seed=seed)
+    for fr in seq.frames:
+        tracker.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+    return cfg, seq, tracker
+
+
+class TestCheckpoint:
+    def test_params_roundtrip(self, tmp_path):
+        p = {"a.weight": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(4)}
+        path = str(tmp_path / "params")
+        save_params(path, p)
+        back = load_params(path)
+        assert set(back) == set(p)
+        np.testing.assert_allclose(back["a.weight"], p["a.weight"])
+
+    def test_torch_conversion_save(self, tmp_path):
+        import torch
+
+        m = torch.nn.Conv2d(3, 8, 3)
+        path = str(tmp_path / "conv")
+        save_torch_state_dict(path, m.state_dict())
+        back = load_params(path)
+        assert back["weight"].shape == (3, 3, 3, 8)
+
+    def test_session_resume_continues_identically(self, tmp_path):
+        cfg, seq, tracker = run_short_sequence(n_frames=5)
+        # snapshot after frame 3 of a fresh run
+        cfg2, seq2, _ = run_short_sequence(n_frames=5)
+        t_partial = Tracker(cfg, n_bg=600, n_obj=1500, max_objects=4, seed=0)
+        for fr in seq.frames[:3]:
+            t_partial.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+        snap = str(tmp_path / "session.pkl")
+        save_session(snap, t_partial)
+
+        resumed = Tracker(cfg, n_bg=600, n_obj=1500, max_objects=4, seed=0)
+        load_session(snap, resumed)
+        assert resumed.frame_id == 3
+        for fr in seq.frames[3:]:
+            resumed.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+        assert len(resumed.map) == 5
+        # resumed trajectory stays close to the uninterrupted run
+        d = np.abs(resumed.map.poses - tracker.map.poses).max()
+        assert d < 0.05
+
+
+class TestViz:
+    def test_plots_written(self, tmp_path):
+        _, seq, tracker = run_short_sequence(n_frames=5)
+        p1 = str(tmp_path / "traj.png")
+        p2 = str(tmp_path / "err.png")
+        p3 = str(tmp_path / "speed.png")
+        gt = np.stack([f.Tcw_gt for f in seq.frames])
+        plot_trajectory(tracker.map, p1, gt=gt)
+        stats = plot_metric_error(tracker.map, p2)
+        save_speed_plot(tracker.map, p3)
+        for p in (p1, p2, p3):
+            assert os.path.exists(p) and os.path.getsize(p) > 1000
+        assert stats["rpe_trans_mean"] < 0.05
