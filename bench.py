@@ -51,7 +51,8 @@ def main():
         H, W, MaskRCNNConfig(input_h=544, input_w=800), seed=0, use_pallas=True
     )
     tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,
-                      local_ba=True, ba_max_points=1000, ba_iters=10)
+                      local_ba=True, ba_max_points=1000, ba_iters=10,
+                      pipelined=True)
 
     rng = np.random.RandomState(0)
     # pre-upload the input frames (device arrays; the realtime pipeline
@@ -79,7 +80,8 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_warmup, n_warmup + n_bench):
         run_frame(frames[i], frames[i + 1])
-    jax.block_until_ready(tracker.state.Tcw)
+    tracker.finish()
+    jax.device_get(tracker.state.Tcw)
     dt = time.perf_counter() - t0
 
     fps = n_bench / dt

@@ -112,3 +112,39 @@ class TestObjectTracking:
         for fr in seq.frames:
             tracker.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
         assert tracker.map.track_ids() == []
+
+
+class TestPipelinedMode:
+    def test_pipelined_matches_sync(self, sequence):
+        """Pipelined (one-frame-delayed host processing) must record the
+        same number of frames and a near-identical trajectory."""
+        scene, seq = sequence
+        cfg = make_config(scene)
+
+        t_sync = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0)
+        for fr in seq.frames:
+            t_sync.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+
+        t_pipe = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0,
+                         pipelined=True)
+        for fr in seq.frames:
+            t_pipe.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+        t_pipe.finish()
+
+        assert len(t_pipe.map) == len(seq.frames)
+        gt = np.stack([f.Tcw_gt for f in seq.frames])
+        ate_sync = ate_rmse(t_sync.map.poses, gt, align=False)
+        ate_pipe = ate_rmse(t_pipe.map.poses, gt, align=False)
+        # the one-frame-delayed BA correction changes poses slightly but
+        # accuracy must stay in the same class
+        assert ate_pipe < max(2.5 * ate_sync, 0.05), (ate_pipe, ate_sync)
+
+    def test_objects_still_tracked(self, sequence):
+        scene, seq = sequence
+        cfg = make_config(scene)
+        t_pipe = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0,
+                         pipelined=True)
+        for fr in seq.frames:
+            t_pipe.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+        t_pipe.finish()
+        assert len(t_pipe.map.track_ids()) == 1

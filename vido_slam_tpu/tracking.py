@@ -316,6 +316,7 @@ class Tracker:
         use_imu: bool = False,
         imu_max_frames: int = 32,
         imu_max_segments: int = 64,
+        pipelined: bool = False,
     ):
         self.cfg = config
         c = config.camera
@@ -334,7 +335,12 @@ class Tracker:
         self.local_ba = local_ba
         self.ba_max_points = ba_max_points
         self.ba_iters = ba_iters
-        # host mirror of track ids handled by ObjectTracker
+        # software pipeline (hide host<->device round-trips): frame t's
+        # outputs are recorded while frame t+1 computes; incompatible with
+        # VIO's synchronous scale handling for now
+        self.pipelined = pipelined and not use_imu
+        self._pending = None
+        self._pending_ba = None
         # ---- VIO state (Tracking.cc:112-121, 784-1077) ----
         self.use_imu = use_imu
         self.imu_max_frames = imu_max_frames
@@ -639,10 +645,113 @@ class Tracker:
                                     self._next_key())
         self.state = new_state
 
+        if self.pipelined:
+            # ---- software pipeline: hide the fetch + BA round-trips ----
+            # start the async device->host copy of this frame's outputs,
+            # then (a) fold the PREVIOUS BA result into the map, (b) record
+            # the PREVIOUS frame from its already-copied outputs, (c) launch
+            # this window's BA asynchronously. The state correction from the
+            # in-flight BA is applied as a device-side relative transform, so
+            # the critical path has NO blocking host transfer.
+            jax.tree.map(lambda a: a.copy_to_host_async(), out)
+            self._finalize_pending_ba()
+            self._process_pending()
+            self._pending = (out, float(timestamp),
+                             None if Tcw_gt is None else np.asarray(Tcw_gt),
+                             time.perf_counter() - t_start)
+            if self.local_ba and len(self.map) >= 3:
+                self._dispatch_window_ba()
+            return np.asarray(self.state.Tcw)
+
         # ---- single batched host fetch -----------------------------
         h = jax.device_get(out)
         t_step = time.perf_counter()
+        self._record_outputs(h, float(timestamp), Tcw_gt, t_step - t_start)
+        Tcw = h.Tcw
 
+        # ---- sliding-window BA (PartialBatchOptimization) ----------
+        if self.local_ba and len(self.map) >= 3:
+            t0 = time.perf_counter()
+            Tcw = self._run_window_ba()
+            self.map.lba_time.append(time.perf_counter() - t0)
+
+        # ---- VIO init / scale refinement (Tracking.cc:1452-1480) ----
+        if self.use_imu:
+            if not self.imu_initialized:
+                self._try_initialize_imu(float(timestamp))
+            else:
+                self._try_scale_refinement(float(timestamp))
+            Tcw = jnp.asarray(self.map.frames[-1].Tcw)
+        return np.asarray(Tcw)
+
+    # ------------------------------------------------------------------
+    def finish(self):
+        """Drain the pipeline (pipelined mode): record the last frame and
+        fold in the final BA result."""
+        if not self.pipelined:
+            return
+        self._finalize_pending_ba()
+        self._process_pending()
+        if self.local_ba and len(self.map) >= 3:
+            self._dispatch_window_ba()
+            self._finalize_pending_ba()
+
+    def _process_pending(self):
+        if self._pending is None:
+            return
+        out, ts, tgt, dt = self._pending
+        self._pending = None
+        h = jax.device_get(out)
+        self._record_outputs(h, ts, tgt, dt)
+
+    def _dispatch_window_ba(self):
+        """Launch the window BA asynchronously over the recorded map and
+        apply the pose correction to the device state as a relative
+        transform: T_t' = T_t * inv(T_prev_orig) * T_prev_opt."""
+        from vido_slam_tpu.estimation.assembly import assemble_static_window
+        from vido_slam_tpu.estimation.window_ba import solve_window_ba
+
+        W = self.cfg.system.window_size
+        prob = assemble_static_window(self.map, self.cam, W, self.ba_max_points)
+        frame_valid = np.zeros(W, bool)
+        frame_valid[prob.pad:] = True
+        res = solve_window_ba(
+            jnp.asarray(prob.Twc0), jnp.asarray(prob.odom),
+            jnp.asarray(prob.odom_valid), jnp.asarray(prob.X0),
+            jnp.asarray(prob.obs), jnp.asarray(prob.obs_valid),
+            jnp.asarray(prob.point_valid), jnp.asarray(frame_valid),
+            max_iters=self.ba_iters,
+        )
+        res.Twc.copy_to_host_async()
+        res.points.copy_to_host_async()
+        Tcw_opt_prev = inverse_se3(res.Twc[-1])
+        Tcw_orig_prev = jnp.asarray(self.map.frames[-1].Tcw)
+        corr = compose(inverse_se3(Tcw_orig_prev), Tcw_opt_prev)
+        self.state = self.state._replace(Tcw=compose(self.state.Tcw, corr))
+        self._pending_ba = (prob, res)
+
+    def _finalize_pending_ba(self):
+        if self._pending_ba is None:
+            return
+        prob, res = self._pending_ba
+        self._pending_ba = None
+        t0 = time.perf_counter()
+        Twc, X = jax.device_get((res.Twc, res.points))
+        W = self.cfg.system.window_size
+        recs = self.map.frames[len(self.map) - (W - prob.pad):]
+        for i, rec in enumerate(recs):
+            rec.Tcw = np.linalg.inv(Twc[prob.pad + i]).astype(np.float32)
+        pv = np.asarray(prob.point_valid)
+        for wi in range(prob.pad, W):
+            sl = prob.slots[wi]
+            m = (sl >= 0) & pv
+            p3d = np.array(recs[wi - prob.pad].stat_3d)
+            p3d[sl[m]] = X[m]
+            recs[wi - prob.pad].stat_3d = p3d
+        self.map.lba_time.append(time.perf_counter() - t0)
+
+    # ------------------------------------------------------------------
+    def _record_outputs(self, h, timestamp, Tcw_gt, step_time):
         # ---- host bookkeeping: tracking ids ------------------------
         bin_track_id, objects = self.object_tracker.assign_ids(h.stats)
         sem_to_tid = np.zeros(MAX_SEM, np.int32)
@@ -680,26 +789,10 @@ class Tracker:
             obj_is_new=h.obj_is_new, obj_sem=h.obj_sem,
             obj_label=labels.astype(np.int32), obj_3d=np.array(h.obj_3d),
             objects=obs_list,
-            timing={"track_step": t_step - t_start},
+            timing={"track_step": step_time},
             cam_motion=np.asarray(h.cam_motion),
         ))
         self.frame_id += 1
-        Tcw = h.Tcw
-
-        # ---- sliding-window BA (PartialBatchOptimization) ----------
-        if self.local_ba and len(self.map) >= 3:
-            t0 = time.perf_counter()
-            Tcw = self._run_window_ba()
-            self.map.lba_time.append(time.perf_counter() - t0)
-
-        # ---- VIO init / scale refinement (Tracking.cc:1452-1480) ----
-        if self.use_imu:
-            if not self.imu_initialized:
-                self._try_initialize_imu(float(timestamp))
-            else:
-                self._try_scale_refinement(float(timestamp))
-            Tcw = jnp.asarray(self.map.frames[-1].Tcw)
-        return np.asarray(Tcw)
 
     # ------------------------------------------------------------------
     def run_full_batch(self, max_frames: int = 64, max_static: int = 2000,
