@@ -47,12 +47,14 @@ def main():
             "MaxTrackPointOBJ": 800,
         }
     )
+    import os
+    pipelined = os.environ.get("VIDO_BENCH_PIPELINED", "1") == "1"
     perception = PerceptionModel(
         H, W, MaskRCNNConfig(input_h=544, input_w=800), seed=0, use_pallas=True
     )
     tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,
                       local_ba=True, ba_max_points=1000, ba_iters=10,
-                      pipelined=True)
+                      pipelined=pipelined)
 
     rng = np.random.RandomState(0)
     # pre-upload the input frames (device arrays; the realtime pipeline

@@ -8,7 +8,7 @@ sequential loop.
 
 Minimal solver: the pipeline is RGB-D (depth for every feature in both
 frames), so the hypothesis generator is 4-point Kabsch/Umeyama 3D-3D
-alignment — a closed-form batched 3x3 SVD that stays well-posed for
+alignment (Horn's quaternion form, batched) that stays well-posed for
 COPLANAR points (road scenes are dominated by the ground plane, which makes
 projective minimal solvers like DLT degenerate; the reference's P3P
 tolerates coplanarity for the same reason). Hypotheses are scored by 2D
@@ -80,17 +80,47 @@ def _dlt_pose(X: jnp.ndarray, x_norm: jnp.ndarray) -> jnp.ndarray:
     return make_se3(R, t_final)
 
 
+def _quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 def _kabsch_pose(Xw: jnp.ndarray, Xc: jnp.ndarray) -> jnp.ndarray:
     """4+ point 3D-3D alignment: world points (S, 3) + camera-frame points
-    (S, 3) -> (4, 4) T with Xc = R Xw + t (Arun/Kabsch, closed form)."""
+    (S, 3) -> (4, 4) T with Xc = R Xw + t.
+
+    Horn's quaternion formulation instead of the classic SVD: the optimal
+    rotation is the dominant eigenvector of a 4x4 symmetric matrix built
+    from the cross-covariance, found here by shifted power iteration — pure
+    batched arithmetic (vmaps into (H, 4, 4) matvecs) instead of thousands
+    of tiny LAPACK SVDs, which lower terribly on TPU. Always yields a proper
+    rotation; degenerate samples just lose the RANSAC argmax."""
     cw = jnp.mean(Xw, axis=0)
     cc = jnp.mean(Xc, axis=0)
-    Hm = jnp.einsum("ni,nj->ij", Xw - cw, Xc - cc, precision=_HI)
-    U, _, Vt = jnp.linalg.svd(Hm)
-    # R maps world->camera: R = V diag(1,1,det) U^T
-    det = jnp.linalg.det(jnp.matmul(Vt.T, U.T, precision=_HI))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(det)
-    R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_HI), U.T, precision=_HI)
+    M = jnp.einsum("ni,nj->ij", Xw - cw, Xc - cc, precision=_HI)
+    tr = jnp.trace(M)
+    A = M - M.T
+    d = jnp.array([A[1, 2], A[2, 0], A[0, 1]])
+    K = jnp.zeros((4, 4))
+    K = K.at[0, 0].set(tr)
+    K = K.at[0, 1:].set(d)
+    K = K.at[1:, 0].set(d)
+    K = K.at[1:, 1:].set(M + M.T - tr * jnp.eye(3))
+    # shift so the dominant eigenvalue of (K + shift I) is the max one
+    shift = jnp.sqrt(jnp.sum(K * K)) + 1e-6
+    Ks = K + shift * jnp.eye(4)
+    q = jnp.array([1.0, 0.01, 0.01, 0.01])  # deterministic start
+
+    def body(_, qq):
+        v = Ks @ qq
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+
+    q = lax.fori_loop(0, 40, body, q)
+    R = _quat_to_rot(q)  # Xc ~ R Xw (Horn's q maps w->c with this K)
     t = cc - R @ cw
     return make_se3(R, t)
 
