@@ -48,7 +48,7 @@ def main():
         }
     )
     import os
-    pipelined = os.environ.get("VIDO_BENCH_PIPELINED", "1") == "1"
+    pipelined = os.environ.get("VIDO_BENCH_PIPELINED", "0") == "1"
     perception = PerceptionModel(
         H, W, MaskRCNNConfig(input_h=544, input_w=800), seed=0, use_pallas=True
     )

@@ -653,7 +653,6 @@ class Tracker:
             # this window's BA asynchronously. The state correction from the
             # in-flight BA is applied as a device-side relative transform, so
             # the critical path has NO blocking host transfer.
-            jax.tree.map(lambda a: a.copy_to_host_async(), out)
             self._finalize_pending_ba()
             self._process_pending()
             self._pending = (out, float(timestamp),
@@ -661,7 +660,10 @@ class Tracker:
                              time.perf_counter() - t_start)
             if self.local_ba and len(self.map) >= 3:
                 self._dispatch_window_ba()
-            return np.asarray(self.state.Tcw)
+            # return the pose LAZILY (device array): materialising it here
+            # would block on the whole in-flight chain including the BA we
+            # just dispatched, defeating the pipeline
+            return self.state.Tcw
 
         # ---- single batched host fetch -----------------------------
         h = jax.device_get(out)
@@ -722,8 +724,6 @@ class Tracker:
             jnp.asarray(prob.point_valid), jnp.asarray(frame_valid),
             max_iters=self.ba_iters,
         )
-        res.Twc.copy_to_host_async()
-        res.points.copy_to_host_async()
         Tcw_opt_prev = inverse_se3(res.Twc[-1])
         Tcw_orig_prev = jnp.asarray(self.map.frames[-1].Tcw)
         corr = compose(inverse_se3(Tcw_orig_prev), Tcw_opt_prev)
