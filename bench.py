@@ -62,26 +62,32 @@ def main():
     # for a throughput benchmark)
     frames = [
         jnp.asarray((rng.rand(H, W, 3) * 255).astype(np.float32))
-        for _ in range(n_warmup + n_bench + 1)
+        for _ in range(n_warmup + n_bench + 2)
     ]
 
     convert = jax.jit(lambda d: convert_depth(
         d, "kaist", cfg.system.depth_map_factor, cfg.camera.bf, scale=1.0))
 
-    def run_frame(prev_img, cur_img):
+    def perceive(prev_img, cur_img):
         out = perception(prev_img, cur_img)
         # on-device handoff: no host round-trip between perception and SLAM
-        tracker.track(convert(out.depth_u16), out.flow,
-                      out.mask.astype(jnp.int32))
+        return (convert(out.depth_u16), out.flow, out.mask.astype(jnp.int32))
 
     # warmup (compilation)
     for i in range(n_warmup):
-        run_frame(frames[i], frames[i + 1])
-    jax.block_until_ready(tracker.state.Tcw)
+        tracker.track(*perceive(frames[i], frames[i + 1]))
+    jax.device_get(tracker.state.Tcw)
 
+    # steady state: dispatch frame i+1's perception BEFORE tracking frame i,
+    # so the fused nets run while the tracker's host fetches wait on the
+    # interconnect — the realtime pipeline's natural producer/consumer split
     t0 = time.perf_counter()
+    pending = perceive(frames[n_warmup], frames[n_warmup + 1])
     for i in range(n_warmup, n_warmup + n_bench):
-        run_frame(frames[i], frames[i + 1])
+        nxt = (perceive(frames[i + 1], frames[i + 2])
+               if i + 1 < n_warmup + n_bench else None)
+        tracker.track(*pending)
+        pending = nxt
     tracker.finish()
     jax.device_get(tracker.state.Tcw)
     dt = time.perf_counter() - t0
