@@ -184,6 +184,7 @@ class System:
 
     # ------------------------------------------------------------------
     def SaveResultsIJRR2020(self, filename: str) -> None:
+        self.tracker.finish()
         save_results_ijrr2020(self.tracker.map, filename)
 
     @property

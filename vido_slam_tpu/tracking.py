@@ -339,6 +339,11 @@ class Tracker:
         # outputs are recorded while frame t+1 computes; incompatible with
         # VIO's synchronous scale handling for now
         self.pipelined = pipelined and not use_imu
+        # defer the window-BA fetch: join it with the NEXT frame's output
+        # fetch (one host round-trip instead of two; pose correction applied
+        # device-side). Off by default: on tunneled transports the joined
+        # fetch serialises behind prefetched work and measures slower.
+        self.ba_deferred = False
         self._pending = None
         self._pending_ba = None
         # ---- VIO state (Tracking.cc:112-121, 784-1077) ----
@@ -666,7 +671,14 @@ class Tracker:
             return self.state.Tcw
 
         # ---- single batched host fetch -----------------------------
-        h = jax.device_get(out)
+        # join the previous frame's BA results into the same transfer
+        if self._pending_ba is not None:
+            prob_prev, res_prev = self._pending_ba
+            h, ba_tw, ba_x = jax.device_get((out, res_prev.Twc, res_prev.points))
+            self._pending_ba = None
+            self._apply_ba_writeback(prob_prev, ba_tw, ba_x)
+        else:
+            h = jax.device_get(out)
         t_step = time.perf_counter()
         self._record_outputs(h, float(timestamp), Tcw_gt, t_step - t_start)
         Tcw = h.Tcw
@@ -674,7 +686,11 @@ class Tracker:
         # ---- sliding-window BA (PartialBatchOptimization) ----------
         if self.local_ba and len(self.map) >= 3:
             t0 = time.perf_counter()
-            Tcw = self._run_window_ba()
+            if self.ba_deferred and not self.use_imu:
+                self._dispatch_window_ba()
+                Tcw = self.state.Tcw
+            else:
+                Tcw = self._run_window_ba()
             self.map.lba_time.append(time.perf_counter() - t0)
 
         # ---- VIO init / scale refinement (Tracking.cc:1452-1480) ----
@@ -688,15 +704,14 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def finish(self):
-        """Drain the pipeline (pipelined mode): record the last frame and
-        fold in the final BA result."""
-        if not self.pipelined:
-            return
+        """Drain deferred work: pending frame outputs (pipelined mode) and
+        the in-flight window-BA result."""
         self._finalize_pending_ba()
-        self._process_pending()
-        if self.local_ba and len(self.map) >= 3:
-            self._dispatch_window_ba()
-            self._finalize_pending_ba()
+        if self.pipelined:
+            self._process_pending()
+            if self.local_ba and len(self.map) >= 3:
+                self._dispatch_window_ba()
+                self._finalize_pending_ba()
 
     def _process_pending(self):
         if self._pending is None:
@@ -735,20 +750,31 @@ class Tracker:
             return
         prob, res = self._pending_ba
         self._pending_ba = None
-        t0 = time.perf_counter()
         Twc, X = jax.device_get((res.Twc, res.points))
-        W = self.cfg.system.window_size
-        recs = self.map.frames[len(self.map) - (W - prob.pad):]
-        for i, rec in enumerate(recs):
+        self._apply_ba_writeback(prob, Twc, X)
+
+    def _apply_ba_writeback(self, prob, Twc, X):
+        """Map write-back of fetched BA results. The window is anchored at
+        the frame count the problem was assembled with (the map may have
+        grown by one since when the fetch is deferred)."""
+        idx = {f.frame_id: f for f in self.map.frames}
+        for i, fid in enumerate(prob.frame_ids):
+            rec = idx.get(fid)
+            if rec is None:
+                continue
             rec.Tcw = np.linalg.inv(Twc[prob.pad + i]).astype(np.float32)
         pv = np.asarray(prob.point_valid)
+        W = self.cfg.system.window_size
         for wi in range(prob.pad, W):
+            fid = prob.frame_ids[wi - prob.pad]
+            rec = idx.get(fid)
+            if rec is None:
+                continue
             sl = prob.slots[wi]
             m = (sl >= 0) & pv
-            p3d = np.array(recs[wi - prob.pad].stat_3d)
+            p3d = np.array(rec.stat_3d)
             p3d[sl[m]] = X[m]
-            recs[wi - prob.pad].stat_3d = p3d
-        self.map.lba_time.append(time.perf_counter() - t0)
+            rec.stat_3d = p3d
 
     # ------------------------------------------------------------------
     def _record_outputs(self, h, timestamp, Tcw_gt, step_time):
