@@ -127,3 +127,33 @@ class TestResultWriters:
         assert len(obj_lines) == 2
         assert obj_lines[0].split()[:2] == ["2", "1"]  # frame+1, label
         assert means["cam_pose"] == pytest.approx(0.01)
+
+
+class TestGtPoseParsers:
+    def test_kt_parser_rotation_structure(self):
+        from vido_slam_tpu.io.gt_poses import obj_pose_parsing_kt
+
+        row = [0, 1, 0, 0, 0, 0, 1.0, 2.0, 3.0, 0.3]
+        T = obj_pose_parsing_kt(row)
+        np.testing.assert_allclose(T[:3, 3], [1.0, 2.0, 3.0])
+        R = T[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-5)
+
+    def test_ox_parser_rodrigues(self):
+        from vido_slam_tpu.io.gt_poses import obj_pose_parsing_ox
+
+        row = [0, 1, 0.5, -0.2, 4.0, 0.0, 0.0, np.pi / 2]
+        T = obj_pose_parsing_ox(row)
+        np.testing.assert_allclose(T[:3, 3], [0.5, -0.2, 4.0])
+        # rotation of pi/2 about z
+        np.testing.assert_allclose(T[:3, :3] @ [1, 0, 0], [0, 1, 0], atol=1e-6)
+
+    def test_ox_origin_relative(self):
+        from vido_slam_tpu.io.gt_poses import obj_pose_parsing_ox
+
+        origin_inv = np.eye(4)
+        origin_inv[:3, 3] = [-1.0, 0.0, 0.0]
+        row = [0, 1, 1.0, 0.0, 0.0, 0, 0, 0]
+        T = obj_pose_parsing_ox(row, origin_inv)
+        np.testing.assert_allclose(T[:3, 3], [0.0, 0.0, 0.0], atol=1e-6)
