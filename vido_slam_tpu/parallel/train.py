@@ -84,3 +84,54 @@ def make_train_step(
 def depth_train_step(state: TrainState, batch, mesh: Mesh):
     """One-off convenience wrapper (compiles per mesh)."""
     return make_train_step(mesh)(state, batch)
+
+
+# ---------------------------------------------------------------------------
+# Detection training (the reference's actual training workload:
+# tools/train_net.py — DDP Mask R-CNN)
+# ---------------------------------------------------------------------------
+
+def make_detection_train_step(mesh: Mesh, cfg, lr: float = 1e-4):
+    """Jitted (params, opt_state, batch, key) -> (params, opt_state, loss)
+    Mask R-CNN train step, dp-sharded over the image batch: each dp shard
+    computes its image's loss (maskrcnn_loss), gradients mean-reduce across
+    the mesh — the reference's reduce_loss_dict/DDP all-reduce, emitted by
+    GSPMD as a psum over 'dp'."""
+    from vido_slam_tpu.models.maskrcnn.losses import total_loss
+
+    opt = make_optimizer(lr)
+    tp = mesh.shape["tp"]
+
+    def loss_fn(params, batch, key):
+        def one(img, boxes, labels, masks, valid, k):
+            from vido_slam_tpu.models.maskrcnn.losses import DetectionTargets
+
+            tg = DetectionTargets(boxes=boxes, labels=labels, masks=masks,
+                                  valid=valid)
+            return total_loss(params, img[None], tg, k, cfg)
+
+        t = batch["targets"]
+        keys = jax.random.split(key, batch["image"].shape[0])
+        losses = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))(
+            batch["image"], t["boxes"], t["labels"], t["masks"], t["valid"],
+            keys,
+        )
+        return jnp.mean(losses)
+
+    def step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = {
+            k: jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, param_spec(k, v, tp))
+            )
+            for k, v in params.items()
+        }
+        return params, opt_state, loss
+
+    bsh = NamedSharding(mesh, P("dp"))
+    shardings = {"image": bsh,
+                 "targets": {"boxes": bsh, "labels": bsh, "masks": bsh,
+                             "valid": bsh}}
+    return jax.jit(step, in_shardings=(None, None, shardings, None))
