@@ -164,3 +164,45 @@ class TestEndToEnd:
         assert all(f.shape[-1] == 256 for f in fp)
         assert fp[0].shape[1:3] == (16, 24)
         assert fp[4].shape[1:3] == (1, 2)
+
+
+class TestRetinaNet:
+    def test_inference_shapes(self):
+        from vido_slam_tpu.models.maskrcnn.backbone import ResNetConfig
+        from vido_slam_tpu.models.maskrcnn.retinanet import (
+            init_retinanet_params,
+            retinanet_inference,
+        )
+
+        cfg = ResNetConfig()
+        p = init_retinanet_params(jax.random.PRNGKey(0), cfg)
+        img = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 160, 3)) * 255
+        out = retinanet_inference(p, img, cfg, 128, 160)
+        assert out.boxes.shape == (100, 4)
+        assert out.labels.shape == (100,)
+        assert bool(jnp.all(jnp.isfinite(out.boxes)))
+        # prior-prob bias init keeps initial scores near 0.01 -> few detections
+        assert int(out.valid.sum()) <= 100
+
+    def test_focal_loss_properties(self):
+        from vido_slam_tpu.models.maskrcnn.retinanet import sigmoid_focal_loss
+
+        logits = jnp.asarray([-4.0, 0.0, 4.0])
+        t1 = jnp.asarray([1.0, 1.0, 1.0])
+        l1 = np.asarray(sigmoid_focal_loss(logits, t1))
+        # confident correct positive has tiny loss; wrong one large
+        assert l1[2] < 1e-3
+        assert l1[0] > 0.5
+        t0 = jnp.asarray([0.0, 0.0, 0.0])
+        l0 = np.asarray(sigmoid_focal_loss(logits, t0))
+        assert l0[0] < 1e-3 and l0[2] > 0.5
+
+    def test_anchor_octaves(self):
+        from vido_slam_tpu.models.maskrcnn.retinanet import retina_cell_anchors
+
+        cell = retina_cell_anchors(0)
+        assert cell.shape == (9, 4)
+        areas = (cell[:, 2] - cell[:, 0] + 1) * (cell[:, 3] - cell[:, 1] + 1)
+        # three octave scales: areas roughly 32^2, (32*2^(1/3))^2, (32*2^(2/3))^2
+        ratios = np.sort(np.unique(np.round(areas / areas.min(), 1)))
+        assert len(ratios) >= 3

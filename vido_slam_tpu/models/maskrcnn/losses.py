@@ -63,21 +63,24 @@ class DetectionTargets(NamedTuple):
 
 
 def _encode_boxes(boxes: jnp.ndarray, anchors: jnp.ndarray, weights) -> jnp.ndarray:
-    """BoxCoder.encode (modeling/box_coder.py)."""
+    """BoxCoder.encode (modeling/box_coder.py). Degenerate anchors (clipped
+    proposals can have non-positive extent) are floored at 1 px BEFORE the
+    division/log — masked-out infinities would still produce NaN gradients
+    through the 0-weight product."""
     wx, wy, ww, wh = weights
-    aw = anchors[:, 2] - anchors[:, 0] + 1
-    ah = anchors[:, 3] - anchors[:, 1] + 1
+    aw = jnp.maximum(anchors[:, 2] - anchors[:, 0] + 1, 1.0)
+    ah = jnp.maximum(anchors[:, 3] - anchors[:, 1] + 1, 1.0)
     ax = anchors[:, 0] + 0.5 * aw
     ay = anchors[:, 1] + 0.5 * ah
-    gw = boxes[:, 2] - boxes[:, 0] + 1
-    gh = boxes[:, 3] - boxes[:, 1] + 1
+    gw = jnp.maximum(boxes[:, 2] - boxes[:, 0] + 1, 1.0)
+    gh = jnp.maximum(boxes[:, 3] - boxes[:, 1] + 1, 1.0)
     gx = boxes[:, 0] + 0.5 * gw
     gy = boxes[:, 1] + 0.5 * gh
     return jnp.stack([
         wx * (gx - ax) / aw,
         wy * (gy - ay) / ah,
-        ww * jnp.log(jnp.maximum(gw / aw, 1e-6)),
-        wh * jnp.log(jnp.maximum(gh / ah, 1e-6)),
+        ww * jnp.log(gw / aw),
+        wh * jnp.log(gh / ah),
     ], axis=-1)
 
 
@@ -170,10 +173,9 @@ def maskrcnn_loss(
         bce = jnp.maximum(obj, 0) - obj * lab + jnp.log1p(jnp.exp(-jnp.abs(obj)))
         rpn_cls_losses.append(jnp.sum(bce * w) / RPN_BATCH)
         tgt = _encode_boxes(targets.boxes[gt_idx], anchors, (1.0,) * 4)
-        bl = jnp.sum(_smooth_l1(dl - tgt), axis=-1)
-        rpn_box_losses.append(
-            jnp.sum(bl * w * is_pos) / RPN_BATCH
-        )
+        diff = jnp.where(is_pos[:, None], dl - tgt, 0.0)
+        bl = jnp.sum(_smooth_l1(diff), axis=-1)
+        rpn_box_losses.append(jnp.sum(bl * w) / RPN_BATCH)
 
         b, s, v = select_proposals_level(
             lax.stop_gradient(obj), lax.stop_gradient(dl), anchors, H, W
@@ -198,7 +200,8 @@ def maskrcnn_loss(
     dsel = jnp.take_along_axis(
         deltas, cls_target[:, None, None].repeat(4, axis=2), axis=1
     )[:, 0]
-    box_loss = jnp.sum(jnp.sum(_smooth_l1(dsel - tgt), axis=-1) * w * is_pos) / ROI_BATCH
+    bdiff = jnp.where(is_pos[:, None], dsel - tgt, 0.0)
+    box_loss = jnp.sum(jnp.sum(_smooth_l1(bdiff), axis=-1) * w) / ROI_BATCH
 
     # ---- mask head (on sampled positives; reuse proposal boxes) ----
     n_mask = 64
