@@ -148,3 +148,24 @@ class TestPipelinedMode:
             t_pipe.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
         t_pipe.finish()
         assert len(t_pipe.map.track_ids()) == 1
+
+
+class TestJointFlowMode:
+    """bJoint path: PoseOptimizationFlow2Cam/Flow2 in the tracking loop."""
+
+    def test_trajectory_and_object(self, sequence):
+        scene, seq = sequence
+        cfg = make_config(scene)
+        tr = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0,
+                     joint_flow=True)
+        for fr in seq.frames:
+            tr.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+        est = tr.map.poses
+        gt = np.stack([f.Tcw_gt for f in seq.frames])
+        ate = ate_rmse(est, gt, align=False)
+        assert ate < 0.05, f"joint ATE {ate}"
+        assert len(tr.map.track_ids()) == 1
+        tid = tr.map.track_ids()[0]
+        H_gt = seq.frames[0].box_motions[0]
+        for fid, H in tr.map.object_motions(tid).items():
+            assert np.linalg.norm(H[:3, 3] - H_gt[:3, 3]) < 0.1, fid

@@ -6,3 +6,8 @@ from vido_slam_tpu.estimation.pose import (  # noqa: F401
     pose_optimization,
     object_motion_optimization,
 )
+from vido_slam_tpu.estimation.flow_joint import (  # noqa: F401
+    estimate_camera_pose_joint,
+    estimate_object_motion_joint,
+    flow_joint_optimization,
+)

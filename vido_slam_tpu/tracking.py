@@ -41,8 +41,13 @@ from vido_slam_tpu.estimation.pose import (
     estimate_camera_pose,
     estimate_object_motion,
 )
+from vido_slam_tpu.estimation.flow_joint import (
+    estimate_camera_pose_joint,
+    estimate_object_motion_joint,
+)
 from vido_slam_tpu.frontend.features import (
     FeatureSet,
+    gather_depth_bilinear,
     propagate_features,
     sample_background_features,
     sample_object_points,
@@ -132,6 +137,7 @@ def _track_step(
     cam: Camera,
     *,
     use_fast: bool,
+    joint_flow: bool,
     n_bg: int,
     n_obj: int,
     max_objects: int,
@@ -157,10 +163,28 @@ def _track_step(
     T_mm = jnp.where(
         state.has_velocity, compose(state.velocity, state.Tcw), state.Tcw
     )
-    est = estimate_camera_pose(
-        k_cam, pts3d_stat, cur_stat.uv, cur_stat.valid & state.stat.valid,
-        cam, T_mm, cam.backproject(cur_stat.uv, cur_stat.depth),
-    )
+    if joint_flow:
+        # bJoint path (Tracking.cc:1133-1134): pose + per-point flow solved
+        # jointly; inlier keypoints move to obs_last + optimized flow and
+        # their depth is re-read at the new position (the reference samples
+        # depth at the final key positions each frame, Tracking.cc:375-391)
+        est, flow_opt = estimate_camera_pose_joint(
+            k_cam, pts3d_stat, state.stat.uv, cur_stat.uv,
+            cur_stat.valid & state.stat.valid,
+            cam, T_mm, cam.backproject(cur_stat.uv, cur_stat.depth),
+        )
+        uv_j = jnp.where(est.inliers[:, None], state.stat.uv + flow_opt,
+                         cur_stat.uv)
+        d_j = gather_depth_bilinear(depth, uv_j)
+        cur_stat = cur_stat._replace(
+            uv=uv_j,
+            depth=jnp.where(est.inliers & (d_j > 0), d_j, cur_stat.depth),
+        )
+    else:
+        est = estimate_camera_pose(
+            k_cam, pts3d_stat, cur_stat.uv, cur_stat.valid & state.stat.valid,
+            cam, T_mm, cam.backproject(cur_stat.uv, cur_stat.depth),
+        )
     Tcw = est.T
     velocity = compose(Tcw, inverse_se3(state.Tcw))
     cam_motion = inverse_se3(velocity)
@@ -202,17 +226,38 @@ def _track_step(
     obj_pc_cur = cam.backproject(cur_obj.uv, cur_obj.depth)
 
     def one(kk, msk, Hm, hm):
-        oest = estimate_object_motion(
-            kk, Tcw, pts3d_obj_pre, cur_obj.uv, msk, cam, Hm, hm, obj_pc_cur
-        )
+        if joint_flow:
+            # PoseOptimizationFlow2 (Tracking.cc:1268-1271)
+            oest, fl = estimate_object_motion_joint(
+                kk, Tcw, pts3d_obj_pre, state.obj.uv, cur_obj.uv, msk, cam,
+                Hm, hm, obj_pc_cur,
+            )
+        else:
+            oest = estimate_object_motion(
+                kk, Tcw, pts3d_obj_pre, cur_obj.uv, msk, cam, Hm, hm,
+                obj_pc_cur,
+            )
+            fl = jnp.zeros_like(cur_obj.uv)
         w = msk.astype(jnp.float32)
         c = jnp.sum(pts3d_obj_pre * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
         sp_v = oest.T[:3, 3] - (jnp.eye(3) - oest.T[:3, :3]) @ c
         speed = jnp.linalg.norm(sp_v) * 36.0
-        return oest.T, oest.inliers, oest.num_inliers, c, speed
+        return oest.T, oest.inliers, oest.num_inliers, c, speed, fl
 
     keys = jax.random.split(k_obj, max_objects)
-    H, obj_inl, n_inl, cent, speed = jax.vmap(one)(keys, obj_masks, H_mm, has_mm)
+    H, obj_inl, n_inl, cent, speed, obj_flow = jax.vmap(one)(
+        keys, obj_masks, H_mm, has_mm)
+    if joint_flow:
+        # updateflow writeback (Optimizer.cc:3224-3232): the per-object
+        # masks are disjoint, so a masked sum combines the K flow fields
+        upd = obj_masks & obj_inl                       # (K, N)
+        moved = jnp.any(upd, axis=0)
+        fl_comb = jnp.einsum("kn,knj->nj", upd.astype(jnp.float32), obj_flow)
+        uv_j = jnp.where(moved[:, None], state.obj.uv + fl_comb, cur_obj.uv)
+        d_j = gather_depth_bilinear(depth, uv_j)
+        cur_obj = cur_obj._replace(
+            uv=uv_j, depth=jnp.where(moved & (d_j > 0), d_j, cur_obj.depth)
+        )
     ok = active & (n_inl >= MIN_OBJ_INLIERS)
     eye4 = jnp.broadcast_to(jnp.eye(4), (max_objects, 4, 4))
     H = jnp.where(ok[:, None, None], H, eye4)
@@ -317,6 +362,7 @@ class Tracker:
         imu_max_frames: int = 32,
         imu_max_segments: int = 64,
         pipelined: bool = False,
+        joint_flow: bool = False,
     ):
         self.cfg = config
         c = config.camera
@@ -370,6 +416,9 @@ class Tracker:
         # UseSampleFeature: 0 = detected FAST corners (needs the gray image),
         # 1 = grid-random sampling (kaist_config.yaml:78, Tracking.cc:167)
         self.use_fast = not s.use_sample_feature
+        # the reference's bJoint (Tracking.h:184 — declared, never assigned):
+        # joint flow+pose optimizers instead of fixed-correspondence LM
+        self.joint_flow = joint_flow
         self._build_step()
 
     def _build_step(self):
@@ -379,6 +428,7 @@ class Tracker:
                 _track_step,
                 cam=self.cam,
                 use_fast=self.use_fast,
+                joint_flow=self.joint_flow,
                 n_bg=self.n_bg,
                 n_obj=self.n_obj,
                 max_objects=self.max_objects,
