@@ -43,7 +43,7 @@ from vido_slam_tpu.models.maskrcnn.rpn import (
     select_proposals_level,
     select_over_all_levels,
 )
-from vido_slam_tpu.models.layers import conv2d, deconv_grouped, relu
+from vido_slam_tpu.models.layers import conv2d, relu
 from vido_slam_tpu.ops.nms import box_iou
 
 RPN_POS_IOU = 0.7

@@ -6,8 +6,8 @@ Shares the ResNet+FPN backbone with Mask R-CNN. Head: 4-conv class tower +
 4-conv box tower per level, 9 anchors per location (3 aspect ratios x 3
 scales per octave), sigmoid classification over 80 foreground classes.
 Inference: per-level top-k (PRE_NMS_TOP_N=1000) above INFERENCE_TH=0.05,
-box decode with weight 1/BBOX_REG_WEIGHT? (the reference encodes with
-weights (10,10,5,5)), class-aware NMS at 0.4, 100 detections. Training:
+box decode with the reference's regression weights (10, 10, 5, 5),
+class-aware NMS at 0.4, 100 detections. Training:
 sigmoid focal loss (alpha .25, gamma 2) + smooth L1 (beta 0.11).
 """
 
