@@ -55,6 +55,8 @@ def main():
     tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,
                       local_ba=True, ba_max_points=1000, ba_iters=10,
                       pipelined=pipelined)
+    if os.environ.get("VIDO_BENCH_DEFERRED_BA", "0") == "1":
+        tracker.ba_deferred = True
 
     rng = np.random.RandomState(0)
     # pre-upload the input frames (device arrays; the realtime pipeline

@@ -15,7 +15,13 @@ from vido_slam_tpu.utils.checkpoint import (
     save_session,
     save_torch_state_dict,
 )
-from vido_slam_tpu.viz import plot_metric_error, plot_trajectory, save_speed_plot
+from vido_slam_tpu.viz import (
+    draw_frame_overlay,
+    plot_metric_error,
+    plot_scene_3d,
+    plot_trajectory,
+    save_speed_plot,
+)
 
 
 def run_short_sequence(n_frames=5, seed=0):
@@ -89,3 +95,16 @@ class TestViz:
         for p in (p1, p2, p3):
             assert os.path.exists(p) and os.path.getsize(p) > 1000
         assert stats["rpe_trans_mean"] < 0.05
+
+    def test_scene3d_and_overlay(self, tmp_path):
+        _, seq, tracker = run_short_sequence(n_frames=5)
+        p4 = str(tmp_path / "scene3d.png")
+        plot_scene_3d(tracker.map, p4)
+        assert os.path.exists(p4) and os.path.getsize(p4) > 1000
+        img = np.zeros((seq.frames[0].depth.shape[0],
+                        seq.frames[0].depth.shape[1]), np.uint8)
+        p5 = str(tmp_path / "overlay.png")
+        out = draw_frame_overlay(img, tracker.map, path=p5)
+        assert out.shape == (*img.shape, 3)
+        assert out.max() > 0  # features drawn
+        assert os.path.exists(p5) and os.path.getsize(p5) > 500

@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from vido_slam_tpu.estimation.lm import huber_weight
@@ -253,3 +254,62 @@ def solve_window_ba(
             cost0, jnp.bool_(False))
     it, Twc, X, lam, nu, cost, done = lax.while_loop(cond, body, init)
     return WindowBAResult(Twc=Twc, points=X, cost=cost, num_iters=it)
+
+
+# ---------------------------------------------------------------------------
+# Packed single-buffer entry point.
+#
+# On a tunneled TPU transport every host->device transfer is a serialized
+# RPC (~14 ms each, measured); the window problem has 8 tensors, so feeding
+# solve_window_ba leaf-by-leaf costs ~100 ms of pure transfer latency per
+# frame. Packing the whole problem into ONE contiguous float32 vector makes
+# it one RPC; the unpack (slice + reshape) is free inside the jit.
+# ---------------------------------------------------------------------------
+
+def _packed_layout(W: int, P: int):
+    sizes = [W * 16, (W - 1) * 16, W - 1, P * 3, W * P * 3, W * P, P, W]
+    offs = np.cumsum([0] + sizes)
+    return offs, int(offs[-1])
+
+
+def pack_window_problem(prob, frame_valid: np.ndarray) -> np.ndarray:
+    """WindowProblem (+ frame_valid) -> one (K,) float32 host buffer."""
+    W = prob.Twc0.shape[0]
+    P = prob.X0.shape[0]
+    offs, total = _packed_layout(W, P)
+    buf = np.empty(total, np.float32)
+    parts = [prob.Twc0, prob.odom, prob.odom_valid, prob.X0, prob.obs,
+             prob.obs_valid, prob.point_valid, frame_valid]
+    for part, o0, o1 in zip(parts, offs[:-1], offs[1:]):
+        buf[o0:o1] = np.asarray(part, np.float32).reshape(-1)
+    return buf
+
+
+@partial(jax.jit, static_argnames=("W", "P", "max_iters"))
+def solve_window_ba_packed(buf: jnp.ndarray, W: int, P: int,
+                           max_iters: int = 20) -> WindowBAResult:
+    offs, _ = _packed_layout(W, P)
+
+    def take(i, shape, dtype=jnp.float32):
+        x = lax.dynamic_slice(buf, (int(offs[i]),), (int(offs[i + 1] - offs[i]),))
+        x = x.reshape(shape)
+        return x.astype(dtype) if dtype != jnp.float32 else x
+
+    return solve_window_ba(
+        take(0, (W, 4, 4)),
+        take(1, (W - 1, 4, 4)),
+        take(2, (W - 1,), bool),
+        take(3, (P, 3)),
+        take(4, (W, P, 3)),
+        take(5, (W, P), bool),
+        take(6, (P,), bool),
+        take(7, (W,), bool),
+        max_iters=max_iters,
+    )
+
+
+@partial(jax.jit, static_argnames=("W", "P"))
+def packed_Twc0_last(buf: jnp.ndarray, W: int, P: int) -> jnp.ndarray:
+    """Last initial pose Twc0[-1] out of the packed buffer (device-side)."""
+    del P  # layout puts Twc0 first; P only fixes the total length
+    return lax.dynamic_slice(buf, ((W - 1) * 16,), (16,)).reshape(4, 4)

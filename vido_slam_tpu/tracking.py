@@ -776,22 +776,20 @@ class Tracker:
         apply the pose correction to the device state as a relative
         transform: T_t' = T_t * inv(T_prev_orig) * T_prev_opt."""
         from vido_slam_tpu.estimation.assembly import assemble_static_window
-        from vido_slam_tpu.estimation.window_ba import solve_window_ba
+        from vido_slam_tpu.estimation.window_ba import (
+            pack_window_problem, packed_Twc0_last, solve_window_ba_packed,
+        )
 
         W = self.cfg.system.window_size
         prob = assemble_static_window(self.map, self.cam, W, self.ba_max_points)
         frame_valid = np.zeros(W, bool)
         frame_valid[prob.pad:] = True
-        res = solve_window_ba(
-            jnp.asarray(prob.Twc0), jnp.asarray(prob.odom),
-            jnp.asarray(prob.odom_valid), jnp.asarray(prob.X0),
-            jnp.asarray(prob.obs), jnp.asarray(prob.obs_valid),
-            jnp.asarray(prob.point_valid), jnp.asarray(frame_valid),
-            max_iters=self.ba_iters,
-        )
-        Tcw_opt_prev = inverse_se3(res.Twc[-1])
-        Tcw_orig_prev = jnp.asarray(self.map.frames[-1].Tcw)
-        corr = compose(inverse_se3(Tcw_orig_prev), Tcw_opt_prev)
+        buf = jax.device_put(pack_window_problem(prob, frame_valid))
+        P = prob.X0.shape[0]
+        res = solve_window_ba_packed(buf, W, P, max_iters=self.ba_iters)
+        # corr = inv(Tcw_orig_prev) * Tcw_opt_prev = Twc0[-1] * inv(Twc[-1]),
+        # computed entirely on device (no host round-trip)
+        corr = compose(packed_Twc0_last(buf, W, P), inverse_se3(res.Twc[-1]))
         self.state = self.state._replace(Tcw=compose(self.state.Tcw, corr))
         self._pending_ba = (prob, res)
 
@@ -907,23 +905,24 @@ class Tracker:
         (reference Tracking.cc:1431-1447 -> Optimizer.cc:43-1228; partial
         write-back semantics of Optimizer.cc:1056-1142)."""
         from vido_slam_tpu.estimation.assembly import assemble_static_window
-        from vido_slam_tpu.estimation.window_ba import solve_window_ba
+        from vido_slam_tpu.estimation.window_ba import (
+            pack_window_problem, solve_window_ba_packed,
+        )
 
         W = self.cfg.system.window_size
         prob = assemble_static_window(self.map, self.cam, W, self.ba_max_points)
         frame_valid = np.zeros(W, bool)
         frame_valid[prob.pad:] = True
-        res = solve_window_ba(
-            jnp.asarray(prob.Twc0),
-            jnp.asarray(prob.odom),
-            jnp.asarray(prob.odom_valid),
-            jnp.asarray(prob.X0),
-            jnp.asarray(prob.obs),
-            jnp.asarray(prob.obs_valid),
-            jnp.asarray(prob.point_valid),
-            jnp.asarray(frame_valid),
-            max_iters=self.ba_iters,
+        # single packed host->device transfer: on a tunneled transport each
+        # put is a serialized ~14 ms RPC, so 8 separate leaves would cost
+        # ~100 ms of latency per frame (measured)
+        buf = jax.device_put(pack_window_problem(prob, frame_valid))
+        res = solve_window_ba_packed(
+            buf, W, prob.X0.shape[0], max_iters=self.ba_iters,
         )
+        # the updated current pose feeds the next frame's tracking without a
+        # host round-trip; the host copy comes from the same fetch below
+        self.state = self.state._replace(Tcw=inverse_se3(res.Twc[-1]))
         Twc, X = jax.device_get((res.Twc, res.points))
         # write back poses
         recs = self.map.frames[len(self.map) - (W - prob.pad):]
@@ -937,7 +936,4 @@ class Tracker:
             p3d = np.array(recs[wi - prob.pad].stat_3d)
             p3d[sl[m]] = X[m]
             recs[wi - prob.pad].stat_3d = p3d
-        # current pose feeds the next frame's tracking
-        Tcw_cur = jnp.asarray(recs[-1].Tcw)
-        self.state = self.state._replace(Tcw=Tcw_cur)
-        return Tcw_cur
+        return recs[-1].Tcw

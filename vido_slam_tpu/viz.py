@@ -115,3 +115,86 @@ def save_speed_plot(slam_map: SlamMap, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+def plot_scene_3d(slam_map: SlamMap, path: str,
+                  max_points: int = 2000, box_half: float = 1.2) -> None:
+    """Headless counterpart of the Pangolin 3D viewer
+    (src/viewer/VidoViewer.cc DrawTrajectory/DrawObjects/DrawMapPoints):
+    camera trajectory, static map points of the last frame, per-track
+    object centroids with wireframe 3D boxes."""
+    plt = _mpl()
+    fig = plt.figure(figsize=(9, 9))
+    ax = fig.add_subplot(111, projection="3d")
+    c = camera_centers(slam_map.poses)
+    ax.plot(c[:, 0], c[:, 2], -c[:, 1], "b-", lw=2, label="camera")
+
+    last = slam_map.frames[-1]
+    pts = last.stat_3d[last.stat_valid][:max_points]
+    if len(pts):
+        ax.scatter(pts[:, 0], pts[:, 2], -pts[:, 1], s=1, c="gray",
+                   alpha=0.4, label="map points")
+
+    edges = [(0, 1), (1, 3), (3, 2), (2, 0), (4, 5), (5, 7), (7, 6),
+             (6, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+    for tid in slam_map.track_ids():
+        cents = []
+        for f in slam_map.frames:
+            for ob in f.objects:
+                if ob.track_id == tid and ob.status:
+                    cents.append(np.asarray(ob.centroid))
+        if not cents:
+            continue
+        cents = np.stack(cents)
+        ax.plot(cents[:, 0], cents[:, 2], -cents[:, 1], "o-", ms=2,
+                label=f"object {tid}")
+        # wireframe box at the latest centroid
+        cx, cy, cz = cents[-1]
+        corners = np.array([
+            [cx + sx * box_half, cy + sy * box_half, cz + sz * box_half]
+            for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
+        ])
+        for a, b in edges:
+            ax.plot([corners[a, 0], corners[b, 0]],
+                    [corners[a, 2], corners[b, 2]],
+                    [-corners[a, 1], -corners[b, 1]], "r-", lw=0.8)
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("z [m]")
+    ax.set_zlabel("-y [m]")
+    ax.legend(loc="upper left", fontsize=8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def draw_frame_overlay(image: np.ndarray, slam_map: SlamMap,
+                       frame_idx: int = -1, path: str = None) -> np.ndarray:
+    """DisplayDynamicImage equivalent: the input frame annotated with the
+    tracked object points (colored per track id) and static features
+    (VidoViewer.cc image panel; Tracking.cc's 'Static and Dynamic Features'
+    debug view). Returns an (H, W, 3) uint8 array; saves if path given."""
+    img = np.asarray(image)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    img = img.astype(np.uint8).copy()
+    f = slam_map.frames[frame_idx]
+    H, W = img.shape[:2]
+
+    def put(uv, color):
+        u = np.clip(np.round(uv[:, 0]).astype(int), 1, W - 2)
+        v = np.clip(np.round(uv[:, 1]).astype(int), 1, H - 2)
+        for du in (-1, 0, 1):
+            for dv in (-1, 0, 1):
+                img[v + dv, u + du] = color
+
+    put(f.stat_uv[f.stat_valid], (0, 255, 0))
+    palette = [(255, 0, 0), (0, 128, 255), (255, 0, 255), (255, 255, 0),
+               (0, 255, 255), (128, 0, 255), (255, 128, 0), (0, 0, 255)]
+    labs = f.obj_label
+    for i, tid in enumerate(sorted(set(labs[labs > 0].tolist()))):
+        m = (labs == tid) & f.obj_valid
+        put(f.obj_uv[m], palette[i % len(palette)])
+    if path is not None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        _mpl().imsave(path, img)
+    return img
