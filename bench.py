@@ -48,13 +48,14 @@ def main():
         }
     )
     import os
-    pipelined = os.environ.get("VIDO_BENCH_PIPELINED", "0") == "1"
+    pipelined = os.environ.get("VIDO_BENCH_PIPELINED", "1") == "1"
     perception = PerceptionModel(
         H, W, MaskRCNNConfig(input_h=544, input_w=800), seed=0, use_pallas=True
     )
+    fused = os.environ.get("VIDO_BENCH_FUSED_BA", "1") == "1"
     tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,
                       local_ba=True, ba_max_points=1000, ba_iters=10,
-                      pipelined=pipelined)
+                      pipelined=pipelined, fused_ba=fused)
     if os.environ.get("VIDO_BENCH_DEFERRED_BA", "0") == "1":
         tracker.ba_deferred = True
 

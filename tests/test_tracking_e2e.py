@@ -169,3 +169,40 @@ class TestJointFlowMode:
         H_gt = seq.frames[0].box_motions[0]
         for fid, H in tr.map.object_motions(tid).items():
             assert np.linalg.norm(H[:3, 3] - H_gt[:3, 3]) < 0.1, fid
+
+
+class TestFusedBA:
+    """Device-side window BA fused into the per-frame program."""
+
+    def test_matches_host_ba_path(self, sequence):
+        scene, seq = sequence
+        cfg = make_config(scene)
+        t_host = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0)
+        t_fuse = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0,
+                         fused_ba=True)
+        for fr in seq.frames:
+            t_host.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+            t_fuse.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+        gt = np.stack([f.Tcw_gt for f in seq.frames])
+        ate_h = ate_rmse(t_host.map.poses, gt, align=False)
+        ate_f = ate_rmse(t_fuse.map.poses, gt, align=False)
+        assert ate_f < 0.05, f"fused ATE {ate_f} (host {ate_h})"
+        # same optimization modulo track segmentation details
+        d = np.abs(t_fuse.map.poses - t_host.map.poses).max()
+        assert d < 0.03, f"pose divergence {d} (ATE host {ate_h} fused {ate_f})"
+        assert len(t_fuse.map.track_ids()) == 1
+
+    def test_fused_pipelined_matches_fused_sync(self, sequence):
+        scene, seq = sequence
+        cfg = make_config(scene)
+        t_sync = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0,
+                         fused_ba=True)
+        t_pipe = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0,
+                         fused_ba=True, pipelined=True)
+        for fr in seq.frames:
+            t_sync.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+            t_pipe.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+        t_pipe.finish()
+        assert len(t_pipe.map) == len(t_sync.map)
+        d = np.abs(t_pipe.map.poses - t_sync.map.poses).max()
+        assert d < 1e-5, f"pipelined fused diverges: {d}"

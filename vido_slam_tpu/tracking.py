@@ -45,6 +45,10 @@ from vido_slam_tpu.estimation.flow_joint import (
     estimate_camera_pose_joint,
     estimate_object_motion_joint,
 )
+# NOTE: imported at module scope on purpose — importing inside the jitted
+# _track_step would execute window_ba's module-level jnp constants under an
+# active trace and leak tracers into the host BA path
+from vido_slam_tpu.estimation.window_ba import solve_window_ba
 from vido_slam_tpu.frontend.features import (
     FeatureSet,
     gather_depth_bilinear,
@@ -85,6 +89,18 @@ class TrackState(NamedTuple):
     # previous frame's mask + flow for UpdateMask (Tracking.cc:3291-3529)
     last_mask: jnp.ndarray       # (H, W) int32
     last_flow: jnp.ndarray       # (H, W, 2)
+    # ---- fused window-BA rings (device-side PartialBatchOptimization) ----
+    # Shifted (not circular) so index order == window frame order; all
+    # fixed-shape. Slot-persistence makes slot index == track identity, so
+    # no host track assembly or transfer is needed (one RPC saved per ring).
+    ba_obs: jnp.ndarray          # (W, N_bg, 3) camera-frame backprojections
+    ba_obs_valid: jnp.ndarray    # (W, N_bg)
+    ba_age: jnp.ndarray          # (N_bg,) consecutive-valid run of the slot
+    ba_anchor: jnp.ndarray       # (N_bg, 3) world point at track start
+    ba_Twc: jnp.ndarray          # (W, 4, 4) refined window poses
+    ba_odom: jnp.ndarray         # (W, 4, 4) tracked motion frame w-1 -> w
+    ba_odom_valid: jnp.ndarray   # (W,)
+    ba_nframes: jnp.ndarray      # scalar int32, frames pushed (clipped)
 
 
 class StepOutputs(NamedTuple):
@@ -117,6 +133,12 @@ class StepOutputs(NamedTuple):
     obj_is_new: jnp.ndarray
     obj_sem: jnp.ndarray
     obj_3d: jnp.ndarray
+    # fused window-BA results (fused_ba mode; zeros otherwise)
+    ba_Twc: jnp.ndarray        # (W, 4, 4) refined window poses
+    ba_points: jnp.ndarray     # (P_sel, 3) refined world points
+    ba_slots: jnp.ndarray      # (P_sel,) slot of each refined point
+    ba_point_ok: jnp.ndarray   # (P_sel,)
+    ba_nframes: jnp.ndarray    # scalar: real (non-pad) frames in the window
 
 
 def _select_objects(stats: ObjectStats, max_objects: int):
@@ -147,6 +169,10 @@ def _track_step(
     sf_ds_thres: float,
     height: int,
     width: int,
+    fused_ba: bool = False,
+    ba_window: int = 20,
+    ba_points: int = 1000,
+    ba_iters: int = 10,
 ):
     k_cam, k_obj, k_fresh = jax.random.split(key, 3)
 
@@ -305,16 +331,83 @@ def _track_step(
     stat_3d = unproject_to_world(cam, renewed_stat.uv, renewed_stat.depth, Tcw)
     obj_3d = unproject_to_world(cam, renewed_obj.uv, renewed_obj.depth, Tcw)
 
+    # -- 7. fused window BA (PartialBatchOptimization inside the step) ----
+    # The host path (Tracker._run_window_ba) assembles tracks from recorded
+    # frames and pays a put + a get RPC per frame; here the window lives in
+    # device rings (slot index == track identity, frontend/renewal.py), the
+    # whole solve joins this frame's program, and its results ride the same
+    # output fetch. Track segmentation matches assembly.py: a slot's run of
+    # consecutive valid frames (broken by renewal or invalidity) is a track;
+    # only the newest segment per slot participates (older window segments
+    # are dropped — documented deviation, they rarely survive >1 renewal).
+    W = ba_window
+    obs_cur = cam.backproject(renewed_stat.uv, renewed_stat.depth)
+    prev_valid = state.ba_obs_valid[-1]
+    age = jnp.where(
+        renewed_stat.valid,
+        jnp.where(stat_new | ~prev_valid, 1, state.ba_age + 1),
+        0,
+    )
+    anchor = jnp.where((age == 1)[:, None], stat_3d, state.ba_anchor)
+    ba_obs = jnp.concatenate([state.ba_obs[1:], obs_cur[None]])
+    ba_obs_valid = jnp.concatenate(
+        [state.ba_obs_valid[1:], renewed_stat.valid[None]])
+    ba_Twc = jnp.concatenate([state.ba_Twc[1:], inverse_se3(Tcw)[None]])
+    ba_odom = jnp.concatenate([state.ba_odom[1:], cam_motion[None]])
+    ba_odom_valid = jnp.concatenate(
+        [state.ba_odom_valid[1:], state.has_velocity[None]])
+    nf = jnp.minimum(state.ba_nframes + 1, W)
+
+    if fused_ba:
+        frame_valid = jnp.arange(W) >= W - nf
+        # observation participates if inside the slot's current track run
+        run = jnp.minimum(age, W)
+        in_run = jnp.arange(W)[:, None] >= (W - run)[None, :]
+        wv = ba_obs_valid & in_run & frame_valid[:, None]
+        count = jnp.sum(wv, axis=0)
+        score = jnp.where(count >= 3, count, -1)
+        _, sel = jax.lax.top_k(score, ba_points)
+        sel_ok = score[sel] > 0
+        res = solve_window_ba(
+            jnp.where(frame_valid[:, None, None], ba_Twc, jnp.eye(4)),
+            ba_odom[1:],
+            ba_odom_valid[1:] & frame_valid[:-1] & frame_valid[1:],
+            anchor[sel],
+            ba_obs[:, sel],
+            wv[:, sel],
+            sel_ok,
+            frame_valid,
+            max_iters=ba_iters,
+        )
+        Tcw_out = inverse_se3(res.Twc[-1])
+        anchor = anchor.at[sel].set(
+            jnp.where(sel_ok[:, None], res.points, anchor[sel]))
+        ba_Twc = jnp.where(frame_valid[:, None, None], res.Twc, ba_Twc)
+        out_ba = (res.Twc, res.points, sel.astype(jnp.int32), sel_ok, nf)
+    else:
+        Tcw_out = Tcw
+        P = ba_points
+        out_ba = (ba_Twc, jnp.zeros((P, 3)), jnp.zeros(P, jnp.int32),
+                  jnp.zeros(P, bool), nf)
+
     new_state = TrackState(
         stat=renewed_stat,
         obj=renewed_obj,
-        Tcw=Tcw,
+        Tcw=Tcw_out,
         velocity=velocity,
         has_velocity=jnp.bool_(True),
         bin_motion=bin_motion,
         bin_has_motion=bin_has_motion,
         last_mask=mask,
         last_flow=flow,
+        ba_obs=ba_obs,
+        ba_obs_valid=ba_obs_valid,
+        ba_age=age,
+        ba_anchor=anchor,
+        ba_Twc=ba_Twc,
+        ba_odom=ba_odom,
+        ba_odom_valid=ba_odom_valid,
+        ba_nframes=nf,
     )
     outputs = StepOutputs(
         Tcw=Tcw,
@@ -340,6 +433,11 @@ def _track_step(
         obj_is_new=obj_new,
         obj_sem=renewed_obj.sem,
         obj_3d=obj_3d,
+        ba_Twc=out_ba[0],
+        ba_points=out_ba[1],
+        ba_slots=out_ba[2],
+        ba_point_ok=out_ba[3],
+        ba_nframes=out_ba[4],
     )
     return new_state, outputs
 
@@ -363,6 +461,7 @@ class Tracker:
         imu_max_segments: int = 64,
         pipelined: bool = False,
         joint_flow: bool = False,
+        fused_ba: bool = False,
     ):
         self.cfg = config
         c = config.camera
@@ -384,6 +483,9 @@ class Tracker:
         # software pipeline (hide host<->device round-trips): frame t's
         # outputs are recorded while frame t+1 computes; incompatible with
         # VIO's synchronous scale handling for now
+        # with fused_ba the fetch feeds nothing back into device state, so
+        # the one-frame-lagged pipeline is exactly equivalent (records lag
+        # one frame until finish()) and the fetch RTT hides under compute
         self.pipelined = pipelined and not use_imu
         # defer the window-BA fetch: join it with the NEXT frame's output
         # fetch (one host round-trip instead of two; pose correction applied
@@ -419,6 +521,10 @@ class Tracker:
         # the reference's bJoint (Tracking.h:184 — declared, never assigned):
         # joint flow+pose optimizers instead of fixed-correspondence LM
         self.joint_flow = joint_flow
+        # fused window BA: PartialBatchOptimization runs inside the per-frame
+        # device program from ring buffers (no per-frame BA put/get RPCs);
+        # VIO keeps the host path (scale handling mutates recorded frames)
+        self.fused_ba = fused_ba and local_ba and not use_imu
         self._build_step()
 
     def _build_step(self):
@@ -438,6 +544,10 @@ class Tracker:
                 sf_ds_thres=s.sf_ds_thres,
                 height=self.cam.height,
                 width=self.cam.width,
+                fused_ba=self.fused_ba,
+                ba_window=s.window_size,
+                ba_points=self.ba_max_points,
+                ba_iters=self.ba_iters,
             )
         )
 
@@ -631,6 +741,9 @@ class Tracker:
             mask, depth, flow, n=self.n_obj, th_depth=self.cfg.system.th_depth_obj
         )
         Tcw = jnp.eye(4)
+        W = self.cfg.system.window_size
+        obs0 = self.cam.backproject(stat.uv, stat.depth)
+        stat_3d0 = unproject_to_world(self.cam, stat.uv, stat.depth, Tcw)
         self.state = TrackState(
             stat=stat,
             obj=obj,
@@ -641,8 +754,16 @@ class Tracker:
             bin_has_motion=jnp.zeros(MAX_SEM, bool),
             last_mask=mask,
             last_flow=flow,
+            ba_obs=jnp.zeros((W, self.n_bg, 3)).at[-1].set(obs0),
+            ba_obs_valid=jnp.zeros((W, self.n_bg), bool).at[-1].set(stat.valid),
+            ba_age=stat.valid.astype(jnp.int32),
+            ba_anchor=stat_3d0,
+            ba_Twc=jnp.tile(jnp.eye(4), (W, 1, 1)),
+            ba_odom=jnp.tile(jnp.eye(4), (W, 1, 1)),
+            ba_odom_valid=jnp.zeros(W, bool),
+            ba_nframes=jnp.int32(1),
         )
-        stat_3d = unproject_to_world(self.cam, stat.uv, stat.depth, Tcw)
+        stat_3d = stat_3d0
         obj_3d = unproject_to_world(self.cam, obj.uv, obj.depth, Tcw)
         host = jax.device_get(
             (stat.uv, stat.depth, stat.valid, stat_3d,
@@ -713,7 +834,7 @@ class Tracker:
             self._pending = (out, float(timestamp),
                              None if Tcw_gt is None else np.asarray(Tcw_gt),
                              time.perf_counter() - t_start)
-            if self.local_ba and len(self.map) >= 3:
+            if self.local_ba and not self.fused_ba and len(self.map) >= 3:
                 self._dispatch_window_ba()
             # return the pose LAZILY (device array): materialising it here
             # would block on the whole in-flight chain including the BA we
@@ -732,6 +853,15 @@ class Tracker:
         t_step = time.perf_counter()
         self._record_outputs(h, float(timestamp), Tcw_gt, t_step - t_start)
         Tcw = h.Tcw
+
+        # ---- fused window BA: apply the results that rode the fetch -----
+        if self.fused_ba:
+            t0 = time.perf_counter()
+            Tcw = self._apply_fused_ba(h)
+            self.map.lba_time.append(time.perf_counter() - t0)
+            if self.use_imu:  # pragma: no cover — fused_ba excludes IMU
+                raise AssertionError
+            return np.asarray(Tcw)
 
         # ---- sliding-window BA (PartialBatchOptimization) ----------
         if self.local_ba and len(self.map) >= 3:
@@ -759,7 +889,7 @@ class Tracker:
         self._finalize_pending_ba()
         if self.pipelined:
             self._process_pending()
-            if self.local_ba and len(self.map) >= 3:
+            if self.local_ba and not self.fused_ba and len(self.map) >= 3:
                 self._dispatch_window_ba()
                 self._finalize_pending_ba()
 
@@ -770,6 +900,8 @@ class Tracker:
         self._pending = None
         h = jax.device_get(out)
         self._record_outputs(h, ts, tgt, dt)
+        if self.fused_ba:
+            self._apply_fused_ba(h)
 
     def _dispatch_window_ba(self):
         """Launch the window BA asynchronously over the recorded map and
@@ -900,6 +1032,23 @@ class Tracker:
         return res
 
     # ------------------------------------------------------------------
+    def _apply_fused_ba(self, h) -> np.ndarray:
+        """Map write-back of the fused in-step window BA (the device-side
+        PartialBatchOptimization): refined window poses overwrite the last
+        nf records; refined points land in the newest record's slots (each
+        record received its refinement when it was the window head)."""
+        W = h.ba_Twc.shape[0]
+        nf = min(int(h.ba_nframes), W, len(self.map))
+        recs = self.map.frames[-nf:]
+        for i, rec in enumerate(recs):
+            rec.Tcw = np.linalg.inv(h.ba_Twc[W - nf + i]).astype(np.float32)
+        ok = np.asarray(h.ba_point_ok)
+        if ok.any():
+            p3d = np.array(recs[-1].stat_3d)
+            p3d[np.asarray(h.ba_slots)[ok]] = np.asarray(h.ba_points)[ok]
+            recs[-1].stat_3d = p3d
+        return recs[-1].Tcw
+
     def _run_window_ba(self):
         """Assemble + solve the static window BA and write results back
         (reference Tracking.cc:1431-1447 -> Optimizer.cc:43-1228; partial
