@@ -52,7 +52,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from vido_slam_tpu.estimation.lm import huber_weight
+from vido_slam_tpu.estimation.lm import _solve_spd, huber_weight
 from vido_slam_tpu.estimation.pose import PoseEstimate, _count_model_inliers
 from vido_slam_tpu.estimation.ransac import pnp_ransac
 from vido_slam_tpu.geometry.camera import Camera
@@ -143,7 +143,7 @@ def _round_lm(T0, f0, pts3d, obs, flow_meas, active, valid, cam,
         rhs = -jnp.einsum("nki,nk->i", D, rhs_vec, precision=_HI)
 
         diag = jnp.maximum(jnp.diag(S), 1e-6)
-        dxi = jnp.linalg.solve(S + lam * jnp.diag(diag), rhs)
+        dxi = _solve_spd(S + lam * jnp.diag(diag), rhs)
         df = -(b_f + a[:, None] * jnp.einsum("nij,j->ni", D, dxi,
                                              precision=_HI)) / v[:, None]
 

@@ -54,10 +54,44 @@ def huber_weight(chi2: jnp.ndarray, delta: float) -> jnp.ndarray:
 
 
 def _solve_spd(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """Solve H x = g for SPD H via Cholesky; H is (P, P) small and dense."""
-    L = jnp.linalg.cholesky(H)
-    y = jax.scipy.linalg.solve_triangular(L, g, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    """Solve H x = g for SPD H; H is (P, P) small and dense.
+
+    For P <= 8 the Cholesky factorisation + triangular solves are UNROLLED
+    into plain scalar arithmetic: `jnp.linalg.cholesky` lowers to a LAPACK-
+    style custom call that costs ~0.1 ms per invocation on TPU — ruinous
+    inside a per-iteration LM while_loop (profiled as the dominant cost of
+    the pose loops). The unrolled form fuses into the surrounding kernel
+    and vmaps cleanly."""
+    n = H.shape[0]
+    if n > 8:
+        L = jnp.linalg.cholesky(H)
+        y = jax.scipy.linalg.solve_triangular(L, g, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = H[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(jnp.maximum(s, 1e-20))
+        L[j][j] = Ljj
+        for i in range(j + 1, n):
+            s2 = H[i, j]
+            for k in range(j):
+                s2 = s2 - L[i][k] * L[j][k]
+            L[i][j] = s2 / Ljj
+    y = [None] * n
+    for i in range(n):
+        s = g[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
 
 
 @partial(

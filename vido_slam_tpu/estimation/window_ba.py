@@ -128,6 +128,32 @@ def _huber_rho(chi2):
     )
 
 
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate/det). `jnp.linalg.inv` on a
+    (P, 3, 3) batch lowers to a LAPACK-style custom call — profiled at ~8 ms
+    per frame on TPU; the adjugate is a handful of fused VPU ops."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
 def _cost_only(Twc, X, obs, obs_valid, odom, odom_valid):
     Tcw = inverse_se3(Twc)
     pc = jnp.einsum("wij,pj->wpi", Tcw[:, :3, :3], X, precision=_HI) + Tcw[:, None, :3, 3]
@@ -196,7 +222,7 @@ def solve_window_ba(
         Hpp = jnp.where(
             point_valid[:, None, None], Hpp, jnp.eye(3)[None]
         )
-        Hpp_inv = jnp.linalg.inv(Hpp)
+        Hpp_inv = _inv3x3(Hpp)
 
         # ---- cross blocks: (P, W, 6, 3) -> (P, D, 3) ----
         Hcp = jnp.einsum("wpij,wp,wpik->pwjk", Jc_pt, w_pt, Jp_pt, precision=_HI)
