@@ -49,8 +49,11 @@ def main():
     )
     import os
     pipelined = os.environ.get("VIDO_BENCH_PIPELINED", "1") == "1"
+    bf16 = os.environ.get("VIDO_BENCH_BF16", "0") == "1"  # bf16 convs: ~5% device gain only (memory-bound), off by default
     perception = PerceptionModel(
-        H, W, MaskRCNNConfig(input_h=544, input_w=800), seed=0, use_pallas=True
+        H, W, MaskRCNNConfig(input_h=544, input_w=800), seed=0,
+        use_pallas=True,
+        compute_dtype=jnp.bfloat16 if bf16 else None,
     )
     fused = os.environ.get("VIDO_BENCH_FUSED_BA", "1") == "1"
     tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,

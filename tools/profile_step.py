@@ -61,11 +61,27 @@ def main():
     dev_pids = {p for p, n in pids.items() if "TPU" in n or "/device" in n.lower()}
     agg = defaultdict(float)
     total = 0.0
+    spans = []
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e:
             name = e.get("name", "?")
             agg[name] += e["dur"] / 1000.0
             total += e["dur"] / 1000.0
+            spans.append((e["ts"], e["ts"] + e["dur"]))
+    # true device-busy time: union of event intervals (nesting double-counts)
+    spans.sort()
+    busy, cur_s, cur_e = 0.0, None, None
+    for s0, e0 in spans:
+        if cur_e is None or s0 > cur_e:
+            if cur_e is not None:
+                busy += cur_e - cur_s
+            cur_s, cur_e = s0, e0
+        else:
+            cur_e = max(cur_e, e0)
+    if cur_e is not None:
+        busy += cur_e - cur_s
+    busy /= 1000.0
+    print(f"device BUSY ms over 4 frames: {busy:.1f} ({busy/4:.1f}/frame)")
     print(f"total device ms over 4 frames: {total:.1f} ({total/4:.1f}/frame)")
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{ms/4:9.3f} ms/frame  {name[:110]}")

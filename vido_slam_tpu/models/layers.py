@@ -38,6 +38,10 @@ def conv2d(
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = (padding, padding)
+    if x.dtype != w.dtype:
+        # mixed-precision graphs (bf16 params, f32 activations from
+        # precision-sensitive ops like ROIAlign) follow the weights' dtype
+        x = x.astype(w.dtype)
     out = lax.conv_general_dilated(
         x,
         w,

@@ -45,6 +45,7 @@ def _deconv4x2(x: jnp.ndarray, w_hwio: jnp.ndarray, b: jnp.ndarray):
     conv with lhs_dilation 2 and padding k-1-p = 2; out = 2*in."""
     w = w_hwio[::-1, ::-1]
     w = jnp.swapaxes(w, 2, 3)  # (kh, kw, cin, cout)
+    x = x.astype(w.dtype) if x.dtype != w.dtype else x
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=[(2, 2), (2, 2)],
         lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -167,6 +167,7 @@ def _dense_deconv2x(x: jnp.ndarray, w_hwio: jnp.ndarray, b: jnp.ndarray):
     pad = k - 1 - 0 = 1."""
     w = w_hwio[::-1, ::-1]                       # flip spatial
     w = jnp.swapaxes(w, 2, 3)                    # (kh, kw, cin, cout)
+    x = x.astype(w.dtype) if x.dtype != w.dtype else x
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
         lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),

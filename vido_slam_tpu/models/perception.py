@@ -76,8 +76,12 @@ def perception_forward(
     cur_rgb = cur_bgr[None, :, :, ::-1] / 255.0
 
     # --- MonoDepth2 (current frame) ---
-    d_in = _resize(cur_rgb, FEED_HEIGHT, FEED_WIDTH)
-    disp = monodepth2_disp(depth_params, d_in)
+    # conv-heavy branches run in the params' dtype (bf16 on TPU rides the
+    # MXU natively; f32 convs are emulated as 3-pass bf16 and ~2-3x slower);
+    # normalisation and geometry return to f32
+    d_dt = jax.tree_util.tree_leaves(depth_params)[0].dtype
+    d_in = _resize(cur_rgb, FEED_HEIGHT, FEED_WIDTH).astype(d_dt)
+    disp = monodepth2_disp(depth_params, d_in).astype(jnp.float32)
     depth_u16 = disp_to_uint16_depth(disp, height, width)[0]
 
     # --- LiteFlowNet (prev -> cur) ---
@@ -91,8 +95,13 @@ def perception_forward(
 
     # --- Mask R-CNN (current frame; wrapper feeds raw RGB floats 0..255,
     #     resized to the model input size — predictor.py:283-286) ---
-    m_in = _resize(cur_bgr[None, :, :, ::-1], mask_cfg.input_h, mask_cfg.input_w)
+    m_dt = jax.tree_util.tree_leaves(mask_params)[0].dtype
+    m_in = _resize(cur_bgr[None, :, :, ::-1],
+                   mask_cfg.input_h, mask_cfg.input_w).astype(m_dt)
     det = maskrcnn_inference(mask_params, m_in, mask_cfg)
+    det = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, det)
     mask = paste_semantic_mask(
         det, mask_cfg.input_h, mask_cfg.input_w, height, width,
         mask_cfg.mask_threshold,
@@ -113,6 +122,7 @@ class PerceptionModel:
         flow_params: Optional[Params] = None,
         mask_params: Optional[Params] = None,
         use_pallas: bool = True,
+        compute_dtype=None,
     ):
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
         self.height = height
@@ -122,6 +132,10 @@ class PerceptionModel:
         self.depth_params = depth_params or init_monodepth2_params(k1)
         self.flow_params = flow_params or init_liteflownet_params(k2)
         self.mask_params = mask_params or init_maskrcnn_params(k3, mask_cfg)
+        if compute_dtype is not None:
+            cast = lambda p: {k: v.astype(compute_dtype) for k, v in p.items()}
+            self.depth_params = cast(self.depth_params)
+            self.mask_params = cast(self.mask_params)
 
     def __call__(self, prev_bgr, cur_bgr) -> PerceptionOutput:
         return perception_forward(
