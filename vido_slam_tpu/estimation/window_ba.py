@@ -268,7 +268,9 @@ def solve_window_ba(
         X_next = jnp.where(accept, X_new, X)
         cost_next = jnp.where(accept, cost_new, cost)
         rel_impr = (cost - cost_next) / jnp.maximum(cost, 1e-20)
-        done_new = accept & (rel_impr < 1e-6)
+        # SparseOptimizerTerminateAction gain threshold 1e-3
+        # (Optimizer.cc:182-184): stop when the relative chi2 gain drops
+        done_new = accept & (rel_impr < 1e-3)
         return (it + 1, Twc_next, X_next, lam_new, nu_new, cost_next, done_new)
 
     def cond(state):
