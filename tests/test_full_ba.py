@@ -65,3 +65,24 @@ class TestFullBA:
             for fid, H in per_frame.items():
                 err_t = np.linalg.norm(H[:3, 3] - H_gt[:3, 3])
                 assert err_t < 0.1, f"track {tid} frame {fid}: {err_t}"
+
+
+class TestAltitudeConstraint:
+    def test_altitude_pulls_motion_y_toward_zero(self, tracked_with_full_ba):
+        """EdgeSE3Altitude (types_dyn_slam3d.h:44-60; Optimizer.cc:450-459):
+        a unary prior on each motion's y-translation, sigma2_alti=1, behind
+        the reference's (default-off) ALTITUDE_CONSTRAINT flag."""
+        from vido_slam_tpu.estimation.assembly import assemble_full_problem
+        from vido_slam_tpu.estimation.full_ba import solve_full_ba
+
+        seq, tracker, _ = tracked_with_full_ba
+        prob, stat, _ = assemble_full_problem(
+            tracker.map, tracker.cam, 8, 800, tracker.max_objects)
+        r0 = solve_full_ba(prob, max_iters=6, cg_iters=30, altitude=False)
+        r1 = solve_full_ba(prob, max_iters=6, cg_iters=30, altitude=True)
+        mv = np.asarray(prob.motion_valid)
+        y0 = np.abs(np.asarray(r0.H)[..., 1, 3])[mv]
+        y1 = np.abs(np.asarray(r1.H)[..., 1, 3])[mv]
+        assert np.isfinite(y1).all()
+        # the prior shrinks |y| on average without destroying the solve
+        assert y1.mean() <= y0.mean() + 1e-6

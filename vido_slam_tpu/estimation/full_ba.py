@@ -49,6 +49,7 @@ from vido_slam_tpu.estimation.window_ba import (
 from vido_slam_tpu.geometry.se3 import compose, exp_se3, inverse_se3, log_se3
 
 _HI = lax.Precision.HIGHEST
+SIGMA2_ALT = 1.0  # sigma2_alti (Optimizer.cc:196)
 
 
 class FullBAProblem(NamedTuple):
@@ -94,9 +95,13 @@ class FullBAResult(NamedTuple):
     num_iters: jnp.ndarray
 
 
-def _residuals(p: Params, prob: FullBAProblem):
+def _residuals(p: Params, prob: FullBAProblem, altitude: bool = False):
     """All residual blocks at Twc0*exp(xi) etc. Returns a pytree of
-    (residual, weight) pairs; weights already fold validity + information."""
+    (residual, weight, robustify) triples; weights already fold validity +
+    information. `altitude` adds EdgeSE3Altitude (types_dyn_slam3d.h:44-60):
+    a unary prior pulling each motion's y-translation to 0, sigma2_alti = 1
+    (Optimizer.cc:196,450-459), no robust kernel — OFF by default exactly
+    like the reference's ALTITUDE_CONSTRAINT flag (Optimizer.cc:212)."""
     Twc = compose(prob.Twc0, exp_se3(p.xi))
     Tcw = inverse_se3(Twc)
     X = prob.X0 + p.xs
@@ -136,29 +141,36 @@ def _residuals(p: Params, prob: FullBAProblem):
     r_sm = log_se3(compose(inverse_se3(H[:-1]), H[1:]))  # (F-1, K, 6)
     w_sm = prob.smooth_valid[1:].astype(jnp.float32) / SIGMA2_OBJ_SMO
 
-    return (r_od, w_od), (r_sp, w_sp), (r_dp, w_dp), (r_t, w_t), (r_sm, w_sm)
+    blocks = [(r_od, w_od, True), (r_sp, w_sp, True), (r_dp, w_dp, True),
+              (r_t, w_t, True), (r_sm, w_sm, True)]
+    if altitude:
+        r_alt = H[:, :, 1, 3:4]                     # (F, K, 1) y translation
+        w_alt = prob.motion_valid.astype(jnp.float32) / SIGMA2_ALT
+        blocks.append((r_alt, w_alt, False))
+    return tuple(blocks)
 
 
 def _robust_weights(blocks):
     """Huber IRLS factors per block (evaluated at current estimate)."""
     out = []
-    for r, w in blocks:
+    for r, w, robust in blocks:
         chi2 = jnp.sum(r * r, axis=-1) * w
-        out.append(huber_weight(chi2, DELTA_HUBER) * w)
+        out.append((huber_weight(chi2, DELTA_HUBER) if robust else 1.0) * w)
     return tuple(out)
 
 
 def _cost(blocks):
     c = 0.0
-    for r, w in blocks:
+    for r, w, robust in blocks:
         chi2 = jnp.sum(r * r, axis=-1) * w
         # rho with the information already inside chi2
-        c = c + jnp.sum(jnp.where(w > 0, _huber_rho(chi2), 0.0))
+        rho = _huber_rho(chi2) if robust else chi2
+        c = c + jnp.sum(jnp.where(w > 0, rho, 0.0))
     return c
 
 
 def _flatten_res(blocks):
-    return tuple(r for r, _ in blocks)
+    return tuple(r for r, _, _ in blocks)
 
 
 def _dot(a: Params, b: Params):
@@ -173,12 +185,13 @@ def _scale(alpha, x: Params) -> Params:
     return jax.tree.map(lambda a: alpha * a, x)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("max_iters", "cg_iters", "altitude"))
 def solve_full_ba(
     prob: FullBAProblem,
     *,
     max_iters: int = 15,
     cg_iters: int = 60,
+    altitude: bool = False,
 ) -> FullBAResult:
     F, K = prob.H0.shape[0], prob.H0.shape[1]
     Ps = prob.X0.shape[0]
@@ -207,11 +220,11 @@ def solve_full_ba(
     )
 
     def res_fn(p: Params):
-        return _flatten_res(_residuals(p, prob))
+        return _flatten_res(_residuals(p, prob, altitude))
 
     def step(carry):
         it, p, lam, nu, cost, done = carry
-        blocks = _residuals(p, prob)
+        blocks = _residuals(p, prob, altitude)
         w_rob = _robust_weights(blocks)
         r_list = _flatten_res(blocks)
 
@@ -249,7 +262,7 @@ def solve_full_ba(
         d, _, _, _ = lax.fori_loop(0, cg_iters, cg_body, st0)
 
         p_new = jax.tree.map(lambda a, b_: a + b_, p, d)
-        cost_new = _cost(_residuals(p_new, prob))
+        cost_new = _cost(_residuals(p_new, prob, altitude))
         accept = cost_new < cost
         lam_new = jnp.where(accept, lam * 0.5, lam * nu)
         nu_new = jnp.where(accept, 2.0, nu * 2.0)
@@ -265,7 +278,7 @@ def solve_full_ba(
         it, _, _, _, _, done = carry
         return (it < max_iters) & ~done
 
-    cost0 = _cost(_residuals(zero, prob))
+    cost0 = _cost(_residuals(zero, prob, altitude))
     init = (jnp.int32(0), zero, jnp.float32(1e-4), jnp.float32(2.0), cost0,
             jnp.bool_(False))
     it, p, lam, nu, cost, done = lax.while_loop(cond, step, init)
