@@ -90,17 +90,27 @@ def main():
     # per-frame times; the tunneled transport has multi-hundred-ms stalls
     # unrelated to the workload, so the reported FPS uses the MEDIAN frame
     # time (a stall in 1 of 30 frames must not dominate a throughput figure)
-    dts = []
+    dts, t_perc, t_track = [], [], []
     pending = perceive(frames[n_warmup], frames[n_warmup + 1])
     for i in range(n_warmup, n_warmup + n_bench):
         t0 = time.perf_counter()
         nxt = (perceive(frames[i + 1], frames[i + 2])
                if i + 1 < n_warmup + n_bench else None)
+        t1 = time.perf_counter()
         tracker.track(*pending)
+        t2 = time.perf_counter()
         pending = nxt
-        dts.append(time.perf_counter() - t0)
+        dts.append(t2 - t0)
+        t_perc.append(t1 - t0)
+        t_track.append(t2 - t1)
     tracker.finish()
     jax.device_get(tracker.state.Tcw)
+
+    if os.environ.get("VIDO_BENCH_VERBOSE", "0") == "1":
+        med = lambda x: 1000 * float(np.median(x))
+        print(f"# perceive-dispatch {med(t_perc):.1f} ms | track-call "
+              f"{med(t_track):.1f} ms | frame {med(dts):.1f} ms",
+              file=sys.stderr)
 
     fps = 1.0 / float(np.median(dts))
     print(json.dumps({

@@ -157,3 +157,44 @@ class TestGtPoseParsers:
         row = [0, 1, 1.0, 0.0, 0.0, 0, 0, 0]
         T = obj_pose_parsing_ox(row, origin_inv)
         np.testing.assert_allclose(T[:3, 3], [0.0, 0.0, 0.0], atol=1e-6)
+
+
+
+class TestAuxHelpers:
+    def test_depth_noise_model(self):
+        import numpy as np
+        from vido_slam_tpu.io.synthetic import depth_noise
+
+        rng = np.random.RandomState(0)
+        z = np.full((200000,), 10.0, np.float32)
+        zn = depth_noise(rng, z)
+        # sigma = 100/362.5*0.15 = 0.0414
+        assert abs(float(zn.std()) - 10.0 * 10.0 / 362.5 * 0.15) < 0.002
+        assert abs(float(zn.mean()) - 10.0) < 0.002
+
+    def test_object_track_times(self):
+        from vido_slam_tpu.slam_map import (
+            FrameRecord, ObjectObservation, SlamMap,
+        )
+        import numpy as np
+
+        m = SlamMap()
+        for fid in range(4):
+            obs = []
+            if fid >= 1:
+                obs.append(ObjectObservation(
+                    track_id=2, sem_value=3, motion=np.eye(4),
+                    speed_kmh=1.0, centroid=np.zeros(3), num_inliers=60,
+                    status=(fid != 2)))
+            m.add_frame(FrameRecord(
+                frame_id=fid, timestamp=fid / 10.0,
+                Tcw=np.eye(4, dtype=np.float32), Tcw_gt=None,
+                stat_uv=np.zeros((1, 2)), stat_depth=np.zeros(1),
+                stat_valid=np.zeros(1, bool), stat_is_new=np.zeros(1, bool),
+                stat_3d=np.zeros((1, 3)), obj_uv=np.zeros((1, 2)),
+                obj_depth=np.zeros(1), obj_valid=np.zeros(1, bool),
+                obj_is_new=np.zeros(1, bool), obj_sem=np.zeros(1, np.int32),
+                obj_label=np.zeros(1, np.int32), obj_3d=np.zeros((1, 3)),
+                objects=obs, timing={},
+            ))
+        assert m.object_track_times() == {2: 2}

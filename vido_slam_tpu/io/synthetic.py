@@ -214,3 +214,12 @@ def simple_scene(
         motion=motion,
     )
     return SyntheticScene(cam=cam, ground_y=1.5, boxes=(box,))
+
+
+def depth_noise(rng: "np.random.RandomState", z: "np.ndarray") -> "np.ndarray":
+    """The reference's optional measurement-noise model for depth readings
+    (Frame.cc:714,841,868): z += N(0, sigma) with sigma = z^2/(725*0.5)*0.15.
+    The shipped pipeline calls ObtainFlowDepth* with addnoise=0, so this is
+    an evaluation utility (robustness studies), not on the tracking path."""
+    sigma = z * z / (725.0 * 0.5) * 0.15
+    return z + rng.randn(*z.shape).astype(z.dtype) * sigma

@@ -94,6 +94,18 @@ class SlamMap:
                     out[f.frame_id] = ob.motion
         return out
 
+    def object_track_times(self) -> Dict[int, int]:
+        """track_id -> number of frames the object was successfully tracked
+        (Tracking::GetObjTrackTime -> Map::vnObjTraTime,
+        Tracking.cc:2722-2780): the full-batch optimizer uses these counts
+        to weight/gate motion vertices."""
+        out: Dict[int, int] = {}
+        for f in self.frames:
+            for ob in f.objects:
+                if ob.status:
+                    out[ob.track_id] = out.get(ob.track_id, 0) + 1
+        return out
+
     def track_ids(self) -> List[int]:
         ids = []
         for f in self.frames:
