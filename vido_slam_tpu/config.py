@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import List, Optional
 
 import numpy as np
 import yaml

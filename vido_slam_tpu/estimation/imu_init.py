@@ -20,19 +20,17 @@ log-scale). Fixed shapes: pad to `max_frames` with pair validity masks.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from vido_slam_tpu.estimation.lm import lm_solve
-from vido_slam_tpu.geometry.so3 import exp_so3, hat, log_so3, normalize_rotation
+from vido_slam_tpu.geometry.so3 import exp_so3, log_so3
 from vido_slam_tpu.imu.preintegration import (
     GRAVITY_VALUE,
-    PreintegrationState,
-    bias_corrected_deltas,
-)
+    )
 
 _HI = lax.Precision.HIGHEST
 

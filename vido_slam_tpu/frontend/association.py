@@ -10,7 +10,6 @@ is still background. The per-pixel loops become one scatter.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

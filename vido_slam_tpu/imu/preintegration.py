@@ -16,7 +16,6 @@ density * sqrt(freq), discrete walk = walk / sqrt(freq).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Tuple
 
 import numpy as np
 

@@ -18,14 +18,14 @@ KAIST setups); world frame = first camera frame.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from vido_slam_tpu.geometry.camera import Camera
-from vido_slam_tpu.geometry.se3 import inverse_se3, make_se3, transform_points
+from vido_slam_tpu.geometry.se3 import inverse_se3, make_se3
 from vido_slam_tpu.geometry.so3 import exp_so3
 
 

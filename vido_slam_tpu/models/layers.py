@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple, Union
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

@@ -19,7 +19,7 @@ The cost volume runs the Pallas TPU kernel when available (ops/correlation).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ IRF block: pw 1x1 conv+BN+relu (expansion t) -> depthwise kxk stride s
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, NamedTuple, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

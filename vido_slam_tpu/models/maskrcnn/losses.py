@@ -30,7 +30,6 @@ from vido_slam_tpu.models.layers import Params
 from vido_slam_tpu.models.maskrcnn.backbone import fpn_forward, resnet_stages
 from vido_slam_tpu.models.maskrcnn.roi_heads import (
     BBOX_REG_WEIGHTS,
-    NUM_CLASSES,
     box_head_forward,
     pooled_features,
 )

@@ -15,7 +15,7 @@ The ROS wrapper resizes input to (h=1088, w=800) and keeps raw RGB floats
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,6 @@ from vido_slam_tpu.models.maskrcnn.backbone import (
     resnet_stages,
 )
 from vido_slam_tpu.models.maskrcnn.roi_heads import (
-    Detections,
     NUM_CLASSES,
     box_head_forward,
     mask_head_forward,

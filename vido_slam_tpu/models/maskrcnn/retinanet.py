@@ -14,7 +14,7 @@ sigmoid focal loss (alpha .25, gamma 2) + smooth L1 (beta 0.11).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

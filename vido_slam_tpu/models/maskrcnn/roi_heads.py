@@ -17,13 +17,12 @@ src/thirdparty/mask_rcnn/maskrcnn_benchmark/modeling/roi_heads/
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from vido_slam_tpu.models.layers import Params, conv2d, deconv_grouped, relu
+from vido_slam_tpu.models.layers import Params, conv2d, relu
 from vido_slam_tpu.ops.nms import box_area, clip_boxes, nms
 from vido_slam_tpu.ops.roi_align import roi_align
 

@@ -12,8 +12,7 @@ POST_NMS_TOP_N_TEST=1000; then a global top-k over the concatenated levels
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, NamedTuple, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ for the encoder, "decoder.<i>..." for the decoder ModuleList.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ Pipeline/sequence/expert parallelism have no counterpart in this workload
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ batch) loss.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, NamedTuple, Tuple
 
 import jax
@@ -24,7 +23,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vido_slam_tpu.models.monodepth2 import monodepth2_disp
-from vido_slam_tpu.parallel.mesh import param_spec, shard_batch, shard_params
+from vido_slam_tpu.parallel.mesh import param_spec, shard_params
 
 
 class TrainState(NamedTuple):

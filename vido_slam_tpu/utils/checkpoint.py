@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,11 +9,11 @@ is intentionally replaced by a non-blocking recorder: headless by design.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
-from vido_slam_tpu.metrics import camera_centers, object_motion_error, rpe_camera
+from vido_slam_tpu.metrics import camera_centers
 from vido_slam_tpu.slam_map import SlamMap
 
 
