@@ -66,15 +66,23 @@ def nms(
     strict = (iou > iou_threshold) & (ii[:, None] < ii[None, :])  # j row sup i col
     strict_f = strict.astype(jnp.float32)
 
-    def sweep(_, keep):
+    def body(state):
+        i, keep, _ = state
         sup = (
             jnp.einsum("ji,j->i", strict_f, keep.astype(jnp.float32),
                        precision=lax.Precision.DEFAULT)
             > 0.5
         )
-        return v & ~sup
+        new = v & ~sup
+        return i + 1, new, jnp.all(new == keep)
 
-    keep = lax.fori_loop(0, sweeps, sweep, v)
+    def cond(state):
+        i, _, converged = state
+        return (i < sweeps) & ~converged
+
+    # early exit once a sweep is a no-op: real chains are a few deep, so
+    # this usually stops after 2-4 of the 16 worst-case sweeps
+    _, keep, _ = lax.while_loop(cond, body, (jnp.int32(0), v, jnp.bool_(False)))
     # gather kept, in score order, to fixed size
     keep_s = jnp.where(keep, 1.0, 0.0)
     prio = keep_s * (N - jnp.arange(N, dtype=jnp.float32))  # earlier = higher
