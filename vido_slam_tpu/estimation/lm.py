@@ -108,6 +108,7 @@ def lm_solve(
     huber_delta: Optional[float] = None,
     init_lambda: float = 1e-5,
     gain_tol: float = 1e-9,
+    rel_tol: float = 1e-5,
     jac_mode: str = "fwd",
 ) -> LMResult:
     """Minimise 0.5 * sum_n w_n * rho(|r_n(x)|^2) over x.
@@ -122,6 +123,12 @@ def lm_solve(
         semantics: threshold on sqrt(chi2)).
       init_lambda: initial damping as a fraction of max diag(H) (g2o _tau).
       gain_tol: terminate when the predicted gain is below this.
+      rel_tol: terminate on an accepted step whose RELATIVE cost improvement
+        is below this — the g2o SparseOptimizerTerminateAction semantics
+        (core/sparse_optimizer_terminate_action.cpp, gain threshold; the
+        reference installs it with 1e-3 for the window BA, Optimizer.cc:
+        182-184). Each extra while_loop trip costs fixed device time, so a
+        live early-exit is what keeps the per-frame solves cheap on TPU.
       jac_mode: "fwd" (few params) or "rev" (many params, few residuals).
     """
     x0 = jnp.asarray(x0)
@@ -181,7 +188,12 @@ def lm_solve(
         bad = jnp.any(jnp.isnan(delta))
         delta = jnp.where(bad, jnp.zeros_like(delta), delta)
         x_new = x + delta
-        _, _, _, _, cost_new = block_stats(x_new)
+        # ONE linearisation per iteration: H/g/cost at the trial point. On
+        # accept they become the next state; on reject the old H/g/cost are
+        # kept (same x, only lam changes) — the wasted Jacobian on a reject
+        # is far cheaper than a second residual pass every iteration (the
+        # while-loop body latency is the per-frame floor on TPU).
+        H_new, g_new, cost_new, _ = normal_eqs(x_new)
         # predicted reduction: 0.5 * delta^T (lam*D*delta - g)
         pred = 0.5 * jnp.dot(delta, lam * jnp.maximum(dH, floor) * delta - g)
         rho = (cost - cost_new) / jnp.maximum(pred, 1e-20)
@@ -194,12 +206,17 @@ def lm_solve(
         ni_new = jnp.where(accept, 2.0, ni * 2.0)
         x_next = jnp.where(accept, x_new, x)
         cost_next = jnp.where(accept, cost_new, cost)
-        H_new, g_new, _, _ = normal_eqs(x_next)
-        # terminate if converged (tiny predicted gain on an accepted step)
+        H_next = jnp.where(accept, H_new, H)
+        g_next = jnp.where(accept, g_new, g)
+        # terminate if converged: tiny predicted gain, or an accepted step
+        # whose relative improvement is below rel_tol (g2o terminate action)
         done_new = accept & (pred < gain_tol * jnp.maximum(cost, 1e-20))
+        done_new = done_new | (
+            accept & (cost - cost_new < rel_tol * jnp.maximum(cost, 1e-20))
+        )
         # also terminate if damping exploded (stuck)
         done_new = done_new | (lam_new > 1e10 * jnp.maximum(lam0, 1e-30))
-        return (it + 1, x_next, lam_new, ni_new, cost_next, H_new, g_new, done_new)
+        return (it + 1, x_next, lam_new, ni_new, cost_next, H_next, g_next, done_new)
 
     init = (jnp.int32(0), x0, lam0, jnp.float32(2.0), cost0, H0, g0, jnp.bool_(False))
     it, x, lam, ni, cost, H, g, done = lax.while_loop(cond, body, init)

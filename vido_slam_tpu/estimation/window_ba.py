@@ -111,14 +111,26 @@ def _linearize(Twc, X, obs, obs_valid, odom, odom_valid):
 
 
 def _vmap_pt(Twc, X, obs):
-    def pt_edge(T, x, m):
-        r = _point_edge_residual(_Z6, _Z3, T, x, m)
-        Jc, Jp = _point_jac(_Z6, _Z3, T, x, m)
-        return r, Jc, Jp
+    """Residuals + ANALYTIC Jacobians of the point edges.
 
-    inner = jax.vmap(pt_edge, in_axes=(None, 0, 0))     # over points
-    outer = jax.vmap(inner, in_axes=(0, None, 0))       # over frames
-    return outer(Twc, X, obs)
+    r(dp, dx) = (Twc exp(dp))^-1 (X + dx) - meas = exp(-dp)(Xc + Rcw dx) - m
+    with Xc = Tcw X. First order (xi = [rho, phi], right perturbation):
+      dr/drho = -I,  dr/dphi = hat(Xc),  dr/dx = Rcw.
+    Closed form replaces a 9-pass jacfwd through exp_se3/compose per edge —
+    the window has W*P = 20k edges re-linearised every LM iteration, and the
+    while-loop body time is a per-frame floor (profiled: the BA loop was the
+    single largest tracking-step item)."""
+    from vido_slam_tpu.geometry.so3 import hat
+
+    Tcw = inverse_se3(Twc)                    # (W, 4, 4)
+    Rcw = Tcw[:, :3, :3]
+    Xc = jnp.einsum("wij,pj->wpi", Rcw, X, precision=_HI) + Tcw[:, None, :3, 3]
+    r = Xc - obs                              # (W, P, 3)
+    Wn, Pn = r.shape[0], r.shape[1]
+    negI = jnp.broadcast_to(-jnp.eye(3, dtype=r.dtype), (Wn, Pn, 3, 3))
+    Jc = jnp.concatenate([negI, hat(Xc)], axis=-1)        # (W, P, 3, 6)
+    Jp = jnp.broadcast_to(Rcw[:, None], (Wn, Pn, 3, 3))   # (W, P, 3, 3)
+    return r, Jc, Jp
 
 
 def _huber_rho(chi2):

@@ -29,9 +29,17 @@ def update_mask(
     H, W = cur_mask.shape
     last_c = jnp.clip(last_mask, 0, MAX_SEM - 1)
     cur_c = jnp.clip(cur_mask, 0, MAX_SEM - 1)
-    ones = jnp.ones((H, W), jnp.float32)
-    last_count = jnp.zeros(MAX_SEM, jnp.float32).at[last_c].add(ones)
-    cur_count = jnp.zeros(MAX_SEM, jnp.float32).at[cur_c].add(ones)
+    # Histograms as compare+reduce, NOT scatter-add bincounts: a 122880-px
+    # scatter lowers to a ~1 ms serial custom fusion on TPU, while the
+    # (pixels, 256) equality mask fuses into the reduction (profiled ~30x
+    # cheaper). Same for the per-pixel 256-entry table lookup below.
+    bins = jnp.arange(MAX_SEM, dtype=jnp.int32)
+    last_flat = last_c.reshape(-1)
+    cur_flat = cur_c.reshape(-1)
+    last_count = jnp.sum(
+        (last_flat[:, None] == bins[None, :]).astype(jnp.float32), axis=0)
+    cur_count = jnp.sum(
+        (cur_flat[:, None] == bins[None, :]).astype(jnp.float32), axis=0)
     recover = (last_count >= MIN_RECOVER_PX) & (cur_count == 0)
     recover = recover.at[0].set(False)
 
@@ -40,7 +48,11 @@ def update_mask(
     uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     tx = jnp.round(uu + last_flow[..., 0]).astype(jnp.int32)
     ty = jnp.round(vv + last_flow[..., 1]).astype(jnp.int32)
-    src_val = jnp.where(recover[last_c], last_c, 0)
+    # recover[last_c] as a fused compare+reduce table lookup (gather-free)
+    recover_px = jnp.sum(
+        (last_flat[:, None] == bins[None, :]) & recover[None, :], axis=1
+    ).reshape(H, W)
+    src_val = jnp.where(recover_px, last_c, 0)
     in_b = (tx >= 0) & (tx < W) & (ty >= 0) & (ty < H) & (src_val > 0)
     tx = jnp.where(in_b, tx, 0)
     ty = jnp.where(in_b, ty, 0)
