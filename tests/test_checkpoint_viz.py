@@ -108,3 +108,5 @@ class TestViz:
         assert out.shape == (*img.shape, 3)
         assert out.max() > 0  # features drawn
         assert os.path.exists(p5) and os.path.getsize(p5) > 500
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

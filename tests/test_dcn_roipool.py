@@ -1,5 +1,6 @@
 """Deformable conv + ROIPool kernels (csrc parity)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,3 +119,5 @@ class TestRoiPool:
         got = np.asarray(roi_pool(feat, rois, 1.0, 7))
         assert got.max() == 1.0
         assert np.isfinite(got).all()
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

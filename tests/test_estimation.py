@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -174,3 +175,5 @@ class TestObjectMotion:
             H_true, jnp.bool_(True),
         )
         np.testing.assert_allclose(np.array(est.T), np.array(H_true), atol=1e-3)
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -81,3 +81,5 @@ class TestDetectFeatures:
         img = jnp.full((64, 64), 100.0)
         uv, score, valid = detect_fast_features(img, n=32)
         assert int(valid.sum()) == 0
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

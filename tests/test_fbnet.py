@@ -1,6 +1,7 @@
 """FBNet mobile detector: IRF block parity with torch, trunk shapes,
 end-to-end inference."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -95,3 +96,5 @@ class TestFBNet:
         assert det.labels.shape == (100,)
         assert bool(jnp.all(jnp.isfinite(det.boxes)))
         assert bool(jnp.all((det.labels >= 0) & (det.labels < 81)))
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -1,5 +1,6 @@
 """Joint flow+pose optimization (PoseOptimizationFlow2Cam/Flow2 parity)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -115,3 +116,5 @@ class TestFlowJoint:
         )
         dH = se3.compose(se3.inverse_se3(H), est.T)
         assert float(jnp.linalg.norm(se3.log_se3(dH))) < 1e-2
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

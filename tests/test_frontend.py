@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -302,3 +303,5 @@ class TestUpdateMask:
         cur = jnp.zeros((H, W), jnp.int32)
         out = np.asarray(update_mask(cur, last, flow))
         assert (out == 5).sum() == 0
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -86,3 +86,5 @@ class TestAltitudeConstraint:
         assert np.isfinite(y1).all()
         # the prior shrinks |y| on average without destroying the solve
         assert y1.mean() <= y0.mean() + 1e-6
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

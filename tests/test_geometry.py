@@ -164,3 +164,5 @@ class TestCamera:
         np.testing.assert_allclose(kitti, 387.57 * 2.0, rtol=1e-6)
         omd = convert_depth(raw, "omd", 500.0, bf=0.0)
         np.testing.assert_allclose(omd, 0.5, rtol=1e-6)
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -235,3 +235,5 @@ class TestInertialInit:
         pv = jnp.ones(len(prob["pre"]), bool)
         bg = estimate_gyro_bias(prob["Rwb"], pp["dR"], pp["JRg"], pv)
         np.testing.assert_allclose(np.asarray(bg), prob["bg_gt"], atol=5e-4)
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

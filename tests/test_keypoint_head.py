@@ -1,5 +1,6 @@
 """Keypoint R-CNN head: deconv parity, heatmap round trip, loss."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -122,3 +123,5 @@ class TestForwardAndLoss:
         pp = {k: v - 0.01 * g[k] for k, v in p.items()}
         l1 = loss_fn(pp)
         assert float(l1) < float(l0)
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -1,6 +1,7 @@
 """LiteFlowNet net-level behavior (block-level parity lives in test_ops /
 test_models_layers; the CUDA-correlation parity in test_ops.TestCorrelation)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,3 +50,5 @@ class TestLiteFlowNet:
         f_single = liteflownet_forward(p, a, b)
         np.testing.assert_allclose(np.asarray(f[0]), np.asarray(f_single[0]),
                                    atol=1e-4)
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -206,3 +206,5 @@ class TestRetinaNet:
         # three octave scales: areas roughly 32^2, (32*2^(1/3))^2, (32*2^(2/3))^2
         ratios = np.sort(np.unique(np.round(areas / areas.min(), 1)))
         assert len(ratios) >= 3
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

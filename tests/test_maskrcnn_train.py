@@ -110,3 +110,5 @@ class TestLoss:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

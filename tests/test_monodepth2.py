@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -111,3 +112,5 @@ class TestFullModel:
     def test_disp_to_depth(self):
         scaled, depth = disp_to_depth(jnp.array([0.0, 1.0]), 0.1, 100.0)
         np.testing.assert_allclose(np.asarray(depth), [100.0, 0.1], rtol=1e-5)
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -105,3 +105,5 @@ class TestNativeSystem:
         assert os.path.isdir(out) or any(
             f.startswith(os.path.basename(out)) for f in os.listdir(tmp_path))
         lib.vido_system_destroy(sys_c)
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -108,3 +108,5 @@ class TestCorrelation:
             )
         )
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

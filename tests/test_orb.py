@@ -137,3 +137,5 @@ class TestMatching:
         d = uv2 - uv1
         good = (np.abs(d[:, 0] - 5) < 2) & (np.abs(d[:, 1]) < 2)
         assert good.mean() > 0.8, f"only {good.mean():.2f} matches consistent"
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -102,3 +102,5 @@ class TestTrainStep:
         assert np.isfinite(float(loss))
         state, loss2 = step(state, batch)
         assert float(loss2) < float(loss)
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

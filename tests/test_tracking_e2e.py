@@ -206,3 +206,5 @@ class TestFusedBA:
         assert len(t_pipe.map) == len(t_sync.map)
         d = np.abs(t_pipe.map.poses - t_sync.map.poses).max()
         assert d < 1e-5, f"pipelined fused diverges: {d}"
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -123,3 +123,5 @@ class TestVIO:
         g_est = tracker.Rwg @ np.array([0.0, 0.0, -GRAVITY_VALUE])
         g_true = np.array([0.0, GRAVITY_VALUE, 0.0])
         assert np.linalg.norm(g_est - g_true) < 0.5
+
+pytestmark = pytest.mark.slow  # heavy jit: full tier only

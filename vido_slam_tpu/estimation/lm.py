@@ -169,7 +169,13 @@ def lm_solve(
         return H, g, cost, chi2
 
     H0, g0, cost0, chi2_0 = normal_eqs(x0)
-    lam0 = init_lambda * jnp.max(jnp.diag(H0))
+    # floor lam0: an all-masked problem has H0 == 0, and with lam0 == 0 the
+    # damping-explosion exit below (lam > 1e10*lam0 with lam_rej = lam*ni)
+    # could never fire — the loop would burn the full iteration cap. Under
+    # vmap (the 8 object slots) every real solve pays the worst slot's trip
+    # count, so empty slots must terminate instantly (done0 below).
+    lam0 = jnp.maximum(init_lambda * jnp.max(jnp.diag(H0)), 1e-30)
+    done0 = cost0 <= gain_tol  # degenerate/empty or already-converged
 
     def cond(state):
         it, x, lam, ni, cost, H, g, done = state
@@ -218,7 +224,7 @@ def lm_solve(
         done_new = done_new | (lam_new > 1e10 * jnp.maximum(lam0, 1e-30))
         return (it + 1, x_next, lam_new, ni_new, cost_next, H_next, g_next, done_new)
 
-    init = (jnp.int32(0), x0, lam0, jnp.float32(2.0), cost0, H0, g0, jnp.bool_(False))
+    init = (jnp.int32(0), x0, lam0, jnp.float32(2.0), cost0, H0, g0, done0)
     it, x, lam, ni, cost, H, g, done = lax.while_loop(cond, body, init)
     _, _, chi2, _, final_cost = block_stats(x)
     return LMResult(x=x, cost=final_cost, chi2=chi2, num_iters=it, lam=lam)

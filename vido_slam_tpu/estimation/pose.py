@@ -7,7 +7,7 @@ TPU-native replacements for the reference's per-frame g2o solves:
 - `object_motion_optimization` ~ Optimizer::PoseOptimizationObjMot
   (Optimizer.cc:2826-3035): unary reprojection through P = K*Tcw on the
   object's world-frame SE(3) motion H (X_cur = H X_pre), no robust kernel,
-  200 LM iterations, outliers at chi2 > 0.01.
+  100 LM iterations (Optimizer.cc:2941), outliers at chi2 > 0.01.
 - `estimate_camera_pose`       ~ Tracking::GetInitModelCam + PoseOptimizationNew
   (Tracking.cc:1914-2027): parallel RANSAC vs constant-velocity model — the
   hypothesis with more 0.4 px inliers wins, then LM refines on its inliers.
@@ -34,15 +34,15 @@ from vido_slam_tpu.geometry.se3 import compose, exp_se3, inverse_se3
 
 _HI = lax.Precision.HIGHEST
 
-# Reference constants (Optimizer.cc:2184, 2273-2274, 2957-2959). The
-# reference runs 100/200 LM iterations from cv::solvePnPRansac inits; our
-# Kabsch-RANSAC initialisation converges in well under 20 (each extra
-# while_loop step costs fixed device time), so the caps are tighter — the
-# gain-ratio early exit governs the actual count either way.
+# Reference constants (Optimizer.cc:2184, 2271, 2941). Iteration caps MATCH
+# the reference (its[0]=100 for both pose and object motion); the LM
+# while_loop's gain-ratio + relative-improvement early exits (lm.py) mean a
+# converged solve stops long before the cap, so matching costs nothing on
+# typical frames.
 RP_THRES = 0.01          # chi2 inlier threshold, both camera and object
 HUBER_DELTA_POSE = 0.1   # sqrt(0.01)
-POSE_ITERS = 50
-OBJ_ITERS = 60
+POSE_ITERS = 100
+OBJ_ITERS = 100
 RANSAC_REPROJ = 0.4      # px (Tracking.cc:1966)
 MIN_CORRESPONDENCES = 3
 

@@ -112,6 +112,11 @@ def postprocess_detections(
     image_h: int,
     image_w: int,
 ) -> Detections:
+    # decode in f32 regardless of head compute dtype: bf16 coordinates at
+    # image scale ~800 have ~2-4 px resolution, which corrupts NMS IoUs
+    logits = logits.astype(jnp.float32)
+    deltas = deltas.astype(jnp.float32)
+    rois = rois.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     boxes_all = clip_boxes(_decode_class_boxes(deltas, rois), image_h, image_w)
 

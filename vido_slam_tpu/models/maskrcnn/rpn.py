@@ -97,6 +97,10 @@ def select_proposals_level(
     image_w: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One image, one level -> (boxes (POST,4), scores (POST,), valid)."""
+    # decode in f32 regardless of head compute dtype (bf16 image-scale
+    # coordinates are too coarse for NMS IoUs)
+    objectness = objectness.astype(jnp.float32)
+    deltas = deltas.astype(jnp.float32)
     scores = jax.nn.sigmoid(objectness)
     svals, sidx, svalid = _topk_padded(scores, PRE_NMS_TOP_N)
     boxes = decode_boxes(deltas[sidx], anchors[sidx])
