@@ -49,11 +49,16 @@ def main():
     )
     import os
     pipelined = os.environ.get("VIDO_BENCH_PIPELINED", "1") == "1"
-    bf16 = os.environ.get("VIDO_BENCH_BF16", "0") == "1"  # bf16 convs: ~5% device gain only (memory-bound), off by default
+    bf16 = os.environ.get("VIDO_BENCH_BF16", "0") == "1"  # depth net too
+    # detector runs bf16 by default: its outputs are discrete (labels,
+    # thresholded masks; box decode pinned f32) so SLAM numerics are
+    # unaffected, and the ROIAlign/head chain is the largest perception item
+    mask_bf16 = os.environ.get("VIDO_BENCH_MASK_BF16", "1") == "1"
     perception = PerceptionModel(
         H, W, MaskRCNNConfig(input_h=544, input_w=800), seed=0,
         use_pallas=True,
         compute_dtype=jnp.bfloat16 if bf16 else None,
+        mask_dtype=jnp.bfloat16 if mask_bf16 else None,
     )
     fused = os.environ.get("VIDO_BENCH_FUSED_BA", "1") == "1"
     tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,

@@ -34,6 +34,7 @@ def main():
         load_depth_png,
         load_kaist_image_list,
         load_kaist_imu,
+        load_kitti_image_list,
         load_mask_png,
         read_flo,
         sibling_input_paths,
@@ -45,11 +46,15 @@ def main():
     cfg = load_config(args.config)
     vio = cfg.demo.slam_mode == 1
     sensor = Sensor.IMU_RGBD if vio else Sensor.RGBD
+    kitti = cfg.system.choose_data == 2
 
     system = System()
     system.Init(args.config, sensor)
 
-    frames = load_kaist_image_list(cfg.demo.image_path)
+    if kitti:
+        frames = load_kitti_image_list(cfg.demo.image_path)
+    else:
+        frames = load_kaist_image_list(cfg.demo.image_path)
     start = cfg.demo.start_index
     frames = frames[start:]
     if args.max_frames:
@@ -74,11 +79,18 @@ def main():
 
     last_t = None
     for i, fr in enumerate(frames):
-        raw = cv2.imread(fr.image_path, cv2.IMREAD_GRAYSCALE)
-        if raw is None:
-            print(f"skip missing {fr.image_path}")
-            continue
-        bgr = demosaic_bayer_bg2bgr(raw)
+        if kitti:
+            # KITTI frames are plain color images (no Bayer pattern)
+            bgr = cv2.imread(fr.image_path, cv2.IMREAD_COLOR)
+            if bgr is None:
+                print(f"skip missing {fr.image_path}")
+                continue
+        else:
+            raw = cv2.imread(fr.image_path, cv2.IMREAD_GRAYSCALE)
+            if raw is None:
+                print(f"skip missing {fr.image_path}")
+                continue
+            bgr = demosaic_bayer_bg2bgr(raw)
 
         if perception is not None:
             if prev_bgr is None:
@@ -105,7 +117,8 @@ def main():
         last_t = fr.timestamp
 
         Tcw = system.TrackRGBD(bgr, depth_raw, flow, mask,
-                               timestamp=fr.timestamp, imu_measurements=meas)
+                               timestamp=fr.timestamp, imu_measurements=meas,
+                               nImage=len(frames))
         if i % 10 == 0:
             print(f"frame {i}/{len(frames)} t={fr.timestamp:.2f} "
                   f"pos={np.linalg.inv(Tcw)[:3, 3]}")

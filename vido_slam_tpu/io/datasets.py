@@ -116,6 +116,25 @@ def load_kaist_image_list(image_dir: str) -> List[KaistFrame]:
     return frames
 
 
+def load_kitti_image_list(image_dir: str) -> List[KaistFrame]:
+    """LoadKittiImg (realtime_demo/src/run_vido.cc:195-215): stamps in
+    seconds from <image_dir>/../times.txt (first line skipped), image file
+    names are 10-digit zero-padded frame indices (.jpg in the reference;
+    .png also accepted for KITTI raw exports)."""
+    time_file = os.path.join(image_dir, "..", "times.txt")
+    frames = []
+    with open(time_file) as f:
+        lines = f.read().splitlines()[1:]
+    times = [float(l.split()[0]) for l in lines if l.strip()]
+    for i, t in enumerate(times):
+        base = os.path.join(image_dir, f"{i:010d}")
+        path = base + ".jpg"
+        if not os.path.exists(path) and os.path.exists(base + ".png"):
+            path = base + ".png"
+        frames.append(KaistFrame(image_path=path, timestamp=t))
+    return frames
+
+
 def load_kaist_imu(csv_path: str):
     """LoadIMU (run_vido_slam.cc:14-45): xsens_imu.csv, stamp ns in col 0,
     gyro cols 8-10, acc cols 11-13. Returns (times_s, acc (N,3), gyro (N,3))."""

@@ -123,7 +123,14 @@ class PerceptionModel:
         mask_params: Optional[Params] = None,
         use_pallas: bool = True,
         compute_dtype=None,
+        mask_dtype=None,
     ):
+        """compute_dtype casts the depth + detector params (bf16 rides the
+        MXU natively); mask_dtype casts ONLY the detector. The detector is
+        the safe bf16 target: its outputs are discrete (labels, thresholded
+        masks) and box/NMS decode is pinned to f32 (rpn.py/roi_heads.py),
+        while bf16 disparity would quantise metric depth at ~2^-8 relative —
+        directly visible in ATE."""
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
         self.height = height
         self.width = width
@@ -136,6 +143,10 @@ class PerceptionModel:
             cast = lambda p: {k: v.astype(compute_dtype) for k, v in p.items()}
             self.depth_params = cast(self.depth_params)
             self.mask_params = cast(self.mask_params)
+        if mask_dtype is not None:
+            self.mask_params = {
+                k: v.astype(mask_dtype) for k, v in self.mask_params.items()
+            }
 
     def __call__(self, prev_bgr, cur_bgr) -> PerceptionOutput:
         return perception_forward(

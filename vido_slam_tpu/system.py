@@ -124,12 +124,19 @@ class System:
         vObjPose_gt: Optional[Sequence] = None,
         timestamp: Optional[float] = None,
         imu_measurements: Optional[Sequence[ImuPoint]] = None,
+        nImage: Optional[int] = None,
     ) -> np.ndarray:
         """Process one frame; returns the camera pose Tcw (4, 4).
 
         `depth_raw` is the network/stereo raw value image; conversion to
         metric uses the dataset rule with the current IMU scale
-        (Tracking.cc:299-322)."""
+        (Tracking.cc:299-322).
+
+        `nImage` mirrors the reference API's last TrackRGBD argument: the
+        sequence length. When the current frame is the last one
+        (StopFrame = nImage-1, Tracking.cc:288) and the dataset is KITTI,
+        FullBatchOptimization runs over the whole trajectory and fills the
+        refined slots (Tracking.cc:1490-1498, bGlobalBatch default true)."""
         assert self._initialized, "call Init first"
         cfg = self.config
         depth = convert_depth(
@@ -150,6 +157,12 @@ class System:
             Tcw_gt=mTcw_gt, timestamp=timestamp, image=gray,
         )
         self.scale = self.tracker.imu_scale
+        if (nImage is not None and len(self.tracker.map) >= nImage
+                and cfg.system.choose_data == 2):
+            # KITTI StopFrame: global batch over the full trajectory
+            self.tracker.finish()
+            self.tracker.run_full_batch()
+            Verbose.print_mess("FullBatchOptimization done (StopFrame)")
         return Tcw
 
     # ------------------------------------------------------------------

@@ -69,6 +69,11 @@ from vido_slam_tpu.frontend.sceneflow import scene_flow_world, unproject_to_worl
 from vido_slam_tpu.geometry.camera import Camera
 from vido_slam_tpu.geometry.se3 import compose, inverse_se3
 from vido_slam_tpu.slam_map import FrameRecord, ObjectObservation, SlamMap
+from vido_slam_tpu.utils.packing import (
+    make_spec,
+    pack_pytree,
+    unpack_pytree,
+)
 
 MIN_OBJ_INLIERS = 50  # Tracking.cc:1218
 
@@ -529,27 +534,49 @@ class Tracker:
 
     def _build_step(self):
         s = self.cfg.system
-        self._step = jax.jit(
-            partial(
-                _track_step,
-                cam=self.cam,
-                use_fast=self.use_fast,
-                joint_flow=self.joint_flow,
-                n_bg=self.n_bg,
-                n_obj=self.n_obj,
-                max_objects=self.max_objects,
-                th_depth_bg=s.th_depth_bg,
-                th_depth_obj=s.th_depth_obj,
-                sf_mg_thres=s.sf_mg_thres,
-                sf_ds_thres=s.sf_ds_thres,
-                height=self.cam.height,
-                width=self.cam.width,
-                fused_ba=self.fused_ba,
-                ba_window=s.window_size,
-                ba_points=self.ba_max_points,
-                ba_iters=self.ba_iters,
-            )
+        raw_step = partial(
+            _track_step,
+            cam=self.cam,
+            use_fast=self.use_fast,
+            joint_flow=self.joint_flow,
+            n_bg=self.n_bg,
+            n_obj=self.n_obj,
+            max_objects=self.max_objects,
+            th_depth_bg=s.th_depth_bg,
+            th_depth_obj=s.th_depth_obj,
+            sf_mg_thres=s.sf_mg_thres,
+            sf_ds_thres=s.sf_ds_thres,
+            height=self.cam.height,
+            width=self.cam.width,
+            fused_ba=self.fused_ba,
+            ba_window=s.window_size,
+            ba_points=self.ba_max_points,
+            ba_iters=self.ba_iters,
         )
+        self._raw_step = raw_step
+
+        # the jitted step returns StepOutputs PACKED into two flat buffers:
+        # each device_get leaf is its own serialized RPC on the tunneled
+        # transport, and the ~36-leaf fetch profiled at ~48 ms/frame — the
+        # pack makes the per-frame fetch 2 leaves (utils/packing.py)
+        def packed_step(state, depth, flow, mask, gray, key):
+            new_state, out = raw_step(state, depth, flow, mask, gray, key)
+            fbuf, ibuf = pack_pytree(out)
+            return new_state, fbuf, ibuf
+
+        self._step = jax.jit(packed_step)
+        self._out_spec = None
+
+    def _ensure_out_spec(self, state, depth, flow, mask, gray, key):
+        if self._out_spec is None:
+            struct = jax.eval_shape(
+                self._raw_step, state, depth, flow, mask, gray, key)[1]
+            self._out_spec = make_spec(struct)
+
+    def _fetch_outputs(self, packed):
+        """One-RPC fetch + host-side unpack back into StepOutputs."""
+        fbuf, ibuf = jax.device_get(packed)
+        return unpack_pytree(fbuf, ibuf, self._out_spec)
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -817,8 +844,11 @@ class Tracker:
         flow = jnp.asarray(flow)
         mask = jnp.asarray(mask, jnp.int32)
 
-        new_state, out = self._step(self.state, depth, flow, mask, gray,
-                                    self._next_key())
+        key = self._next_key()
+        self._ensure_out_spec(self.state, depth, flow, mask, gray, key)
+        new_state, out_f, out_i = self._step(self.state, depth, flow, mask,
+                                             gray, key)
+        out = (out_f, out_i)
         self.state = new_state
 
         if self.pipelined:
@@ -845,11 +875,13 @@ class Tracker:
         # join the previous frame's BA results into the same transfer
         if self._pending_ba is not None:
             prob_prev, res_prev = self._pending_ba
-            h, ba_tw, ba_x = jax.device_get((out, res_prev.Twc, res_prev.points))
+            fbuf, ibuf, ba_tw, ba_x = jax.device_get(
+                (out[0], out[1], res_prev.Twc, res_prev.points))
+            h = unpack_pytree(fbuf, ibuf, self._out_spec)
             self._pending_ba = None
             self._apply_ba_writeback(prob_prev, ba_tw, ba_x)
         else:
-            h = jax.device_get(out)
+            h = self._fetch_outputs(out)
         t_step = time.perf_counter()
         self._record_outputs(h, float(timestamp), Tcw_gt, t_step - t_start)
         Tcw = h.Tcw
@@ -898,7 +930,7 @@ class Tracker:
             return
         out, ts, tgt, dt = self._pending
         self._pending = None
-        h = jax.device_get(out)
+        h = self._fetch_outputs(out)
         self._record_outputs(h, ts, tgt, dt)
         if self.fused_ba:
             self._apply_fused_ba(h)
