@@ -103,4 +103,40 @@ class TestTrainStep:
         state, loss2 = step(state, batch)
         assert float(loss2) < float(loss)
 
+
+class TestShardedDetection:
+    """engine/inference.py counterpart: dp-sharded Mask R-CNN inference,
+    gathered detections, AP on synthetic boxes (VERDICT r1 item 7)."""
+
+    def test_inference_gathers_and_scores(self):
+        from vido_slam_tpu.models.maskrcnn.model import (
+            MaskRCNNConfig, init_maskrcnn_params)
+        from vido_slam_tpu.parallel.eval import (
+            detection_ap50, sharded_detection_inference)
+
+        mesh = make_mesh(8, dp=8, tp=1)
+        cfg = MaskRCNNConfig(input_h=128, input_w=160,
+                             confidence_threshold=0.0)
+        params = init_maskrcnn_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.RandomState(0)
+        B = 8
+        images = jnp.asarray(
+            rng.rand(B, cfg.input_h, cfg.input_w, 3).astype(np.float32))
+        out = sharded_detection_inference(mesh, params, images, cfg)
+        assert out.boxes.shape[0] == B
+        # gathered = replicated: every shard of the output is addressable
+        host = jax.device_get(out.boxes)
+        assert np.isfinite(host[np.asarray(out.valid)]).all()
+
+        # AP plumbing on synthetic predictions (exact match -> AP 1)
+        gt = np.asarray([[[10, 10, 50, 50], [60, 20, 90, 80]]] * B,
+                        np.float32)
+        gt_valid = np.ones((B, 2), bool)
+        ap = detection_ap50(gt, np.ones((B, 2)), gt_valid, gt, gt_valid)
+        assert ap > 0.99
+        # and non-overlapping predictions score 0
+        ap0 = detection_ap50(gt + 200.0, np.ones((B, 2)), gt_valid,
+                             gt, gt_valid)
+        assert ap0 < 0.01
+
 pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -71,3 +71,99 @@ def evaluate_sequences(mesh: Mesh, probs: BatchedWindowProblem,
     d2 = jnp.sum((c_est - c_gt) ** 2, axis=-1) * fv
     ate = jnp.sqrt(jnp.sum(d2, axis=-1) / jnp.maximum(fv.sum(-1), 1))
     return res, ate
+
+
+# ---------------------------------------------------------------------------
+# dp-sharded detection inference + gathered evaluation — the TPU-native
+# counterpart of the reference's multi-GPU detection path
+# (maskrcnn_benchmark/engine/inference.py:11-86: DistributedSampler shards
+# the dataset, each worker runs the model, predictions are all_gather'd to
+# rank 0 and scored). Here GSPMD shards the image batch over the `dp` axis
+# and the "gather" is the resulting replicated output — utils/comm.py's
+# all_gather/synchronize have no hand-written equivalent to maintain.
+# ---------------------------------------------------------------------------
+
+def sharded_detection_inference(mesh: Mesh, params, images: jnp.ndarray,
+                                cfg):
+    """Run Mask R-CNN inference on a batch of images (B, H, W, 3), batch
+    sharded over `dp`. Returns a MaskRCNNOutput with leading dim B, fully
+    gathered (replicated) — every host sees all detections, like rank-0
+    after _accumulate_predictions_from_multiple_gpus."""
+    from vido_slam_tpu.models.maskrcnn.model import maskrcnn_inference
+
+    B = images.shape[0]
+    assert B % mesh.shape["dp"] == 0, "batch must divide the dp axis"
+    sh = NamedSharding(mesh, P("dp"))
+    images = jax.device_put(jnp.asarray(images), sh)
+    params = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), params)
+
+    @jax.jit
+    def run(params, images):
+        out = jax.vmap(
+            lambda img: maskrcnn_inference(params, img[None], cfg)
+        )(images)
+        # explicit gather: constrain outputs replicated so the fetch is the
+        # cross-device accumulation step
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P())), out)
+
+    with mesh:
+        return run(params, images)
+
+
+def detection_ap50(pred_boxes, pred_scores, pred_valid,
+                   gt_boxes, gt_valid) -> float:
+    """Single-class average precision at IoU 0.5 over a gathered batch —
+    the small-scale stand-in for COCO mAP used by the mesh tests.
+    pred_boxes (B, D, 4), pred_scores (B, D), pred_valid (B, D);
+    gt_boxes (B, G, 4), gt_valid (B, G). Host-side numpy."""
+    pred_boxes = np.asarray(pred_boxes)
+    pred_scores = np.asarray(pred_scores)
+    pred_valid = np.asarray(pred_valid)
+    gt_boxes = np.asarray(gt_boxes)
+    gt_valid = np.asarray(gt_valid)
+
+    rows = []
+    n_gt = int(gt_valid.sum())
+    for b in range(pred_boxes.shape[0]):
+        for d in np.argsort(-pred_scores[b]):
+            if not pred_valid[b, d]:
+                continue
+            rows.append((float(pred_scores[b, d]), b, pred_boxes[b, d]))
+    rows.sort(key=lambda r: -r[0])
+
+    def iou(a, bx):
+        x1 = np.maximum(a[0], bx[:, 0]); y1 = np.maximum(a[1], bx[:, 1])
+        x2 = np.minimum(a[2], bx[:, 2]); y2 = np.minimum(a[3], bx[:, 3])
+        inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (bx[:, 2] - bx[:, 0]) * (bx[:, 3] - bx[:, 1]) - inter)
+        return inter / np.maximum(ua, 1e-9)
+
+    matched = [set() for _ in range(gt_boxes.shape[0])]
+    tp, fp = [], []
+    for score, b, box in rows:
+        g = gt_boxes[b][gt_valid[b]]
+        if g.shape[0] == 0:
+            fp.append(1); tp.append(0)
+            continue
+        ious = iou(box, g)
+        j = int(np.argmax(ious))
+        if ious[j] >= 0.5 and j not in matched[b]:
+            matched[b].add(j)
+            tp.append(1); fp.append(0)
+        else:
+            tp.append(0); fp.append(1)
+    if not tp or n_gt == 0:
+        return 0.0
+    tp = np.cumsum(tp); fp = np.cumsum(fp)
+    recall = tp / n_gt
+    precision = tp / np.maximum(tp + fp, 1e-9)
+    # standard all-points interpolation
+    ap = 0.0
+    for r in np.linspace(0, 1, 101):
+        p = precision[recall >= r]
+        ap += (p.max() if p.size else 0.0) / 101
+    return float(ap)
