@@ -146,3 +146,31 @@ class TestROIAlign:
             roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, res, ratio)
         )
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestMultilevelROIAlign:
+    def test_matches_all_levels_then_select(self):
+        """One-pass banded multilevel ROIAlign == ROIAlign-on-every-level
+        + per-ROI select (the Pooler oracle), across FPN-shaped levels."""
+        from vido_slam_tpu.models.maskrcnn.roi_heads import (
+            pooled_features, pooled_features_reference)
+
+        rng = np.random.RandomState(3)
+        C = 16
+        shapes = [(34, 50), (17, 25), (9, 13), (5, 7)]
+        feats = [jnp.asarray(rng.randn(h, w, C).astype(np.float32))
+                 for h, w in shapes]
+        # rois spanning tiny -> huge so every level (incl. clamped ends)
+        # is exercised; coords at the 136x200 image scale of these maps
+        R = 64
+        x1 = rng.uniform(0, 180, R)
+        y1 = rng.uniform(0, 120, R)
+        ww = rng.uniform(2, 500, R)
+        hh = rng.uniform(2, 400, R)
+        rois = jnp.asarray(
+            np.stack([x1, y1, x1 + ww, y1 + hh], 1).astype(np.float32))
+        for res in (7, 14):
+            got = pooled_features(feats, rois, res)
+            want = pooled_features_reference(feats, rois, res)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5, rtol=1e-5)

@@ -120,6 +120,12 @@ def main():
     model = PerceptionModel(H, W, cfg, seed=0, use_pallas=True)
     print(f"fused perception: {bench(model.__call__, f_in1[0]*255, f_in2[0]*255):.2f} ms")
 
+    # the bench default: detector in bf16 (discrete outputs, f32 box decode)
+    model16 = PerceptionModel(H, W, cfg, seed=0, use_pallas=True,
+                              mask_dtype=jnp.bfloat16)
+    print("fused perception (mask bf16): "
+          f"{bench(model16.__call__, f_in1[0]*255, f_in2[0]*255):.2f} ms")
+
 
 if __name__ == "__main__":
     main()

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from vido_slam_tpu.models.layers import Params, conv2d, relu
 from vido_slam_tpu.ops.nms import box_area, clip_boxes, nms
-from vido_slam_tpu.ops.roi_align import roi_align
+from vido_slam_tpu.ops.roi_align import roi_align, roi_align_multilevel
 
 NUM_CLASSES = 81
 SCORE_THRESH = 0.05
@@ -49,7 +49,21 @@ def pooled_features(
     rois: jnp.ndarray,          # (R, 4)
     resolution: int,
 ) -> jnp.ndarray:
-    """(R, res, res, C): ROIAlign on every level, per-ROI level select."""
+    """(R, res, res, C): one-pass banded multi-level ROIAlign (each ROI
+    pooled only at its assigned level; see ops/roi_align.py)."""
+    lvl = assign_fpn_level(rois)
+    return roi_align_multilevel(
+        tuple(feats), rois, lvl, POOLER_SCALES, resolution, 2
+    )
+
+
+def pooled_features_reference(
+    feats: List[jnp.ndarray],
+    rois: jnp.ndarray,
+    resolution: int,
+) -> jnp.ndarray:
+    """All-levels-then-select realisation; kept as the equivalence oracle
+    for `pooled_features` (tests/test_detection_ops.py)."""
     lvl = assign_fpn_level(rois)
     per_level = [
         roi_align(f, rois, s, resolution, 2)

@@ -97,6 +97,103 @@ def roi_align(
 
 
 # ---------------------------------------------------------------------------
+# Multi-level (FPN) ROIAlign in ONE pass. maskrcnn_benchmark's Pooler
+# (modeling/poolers.py) routes each ROI to one pyramid level; the naive
+# fixed-shape realisation runs ROIAlign on ALL levels and selects, doing 4x
+# the work. Instead: concatenate the pyramid along rows (widths padded to
+# the max), and build each ROI's y-weight matrix against the CONCATENATED
+# row axis with its nonzeros confined to the assigned level's row band (the
+# per-level clamp keeps hat supports inside the band, so levels never
+# bleed). One chunked matmul pair replaces four + a (4,R,...) gather-select;
+# the (chunk, r, Wmax, C) intermediate is ~2x smaller than the four
+# per-level ones combined. Numerics equal the per-level path exactly.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("resolution", "sampling_ratio", "chunk"))
+def roi_align_multilevel(
+    feats: tuple,            # P2..P5, each (H_l, W_l, C), same C
+    rois: jnp.ndarray,       # (R, 4) xyxy image coords
+    levels: jnp.ndarray,     # (R,) int32 in [0, L)
+    spatial_scales: tuple,   # per-level scale
+    resolution: int = 7,
+    sampling_ratio: int = 2,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Returns (R, resolution, resolution, C); each ROI pooled from its
+    assigned level with csrc ROIAlign semantics."""
+    L = len(feats)
+    C = feats[0].shape[2]
+    Hs = [f.shape[0] for f in feats]
+    Ws = [f.shape[1] for f in feats]
+    Wmax = max(Ws)
+    offs = [0] * L
+    for i in range(1, L):
+        offs[i] = offs[i - 1] + Hs[i - 1]
+    Htot = offs[-1] + Hs[-1]
+    fcat = jnp.concatenate(
+        [jnp.pad(f, ((0, 0), (0, Wmax - f.shape[1]), (0, 0))) for f in feats],
+        axis=0,
+    )  # (Htot, Wmax, C)
+
+    r = resolution
+    s = sampling_ratio
+    R = rois.shape[0]
+    scale = jnp.asarray(spatial_scales, jnp.float32)[levels]        # (R,)
+    Hl = jnp.asarray(Hs, jnp.float32)[levels]
+    Wl = jnp.asarray(Ws, jnp.float32)[levels]
+    off = jnp.asarray(offs, jnp.float32)[levels]
+
+    x1 = rois[:, 0] * scale
+    y1 = rois[:, 1] * scale
+    x2 = rois[:, 2] * scale
+    y2 = rois[:, 3] * scale
+    bin_w = jnp.maximum(x2 - x1, 1.0) / r
+    bin_h = jnp.maximum(y2 - y1, 1.0) / r
+    ph = lax.broadcasted_iota(jnp.float32, (r, 1), 0)[:, 0]
+    frac = (lax.broadcasted_iota(jnp.float32, (s, 1), 0)[:, 0] + 0.5) / s
+    ys = y1[:, None, None] + (ph[None, :, None] + frac[None, None, :]) * bin_h[:, None, None]
+    xs = x1[:, None, None] + (ph[None, :, None] + frac[None, None, :]) * bin_w[:, None, None]
+
+    def hat_banded(pos, size_r, off_r, total):
+        # csrc semantics against the ROI's own level (size size_r), then
+        # shifted by the level's row offset into the concatenated axis
+        ks = lax.broadcasted_iota(jnp.float32, (total, 1), 0)[:, 0]
+        sz = size_r[:, None, None]
+        inside = (pos >= -1.0) & (pos <= sz - 1.0)
+        p = jnp.clip(pos, 0.0, sz - 1.0) + off_r[:, None, None]
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(p[..., None] - ks))
+        return w * inside[..., None]
+
+    Ry = (jnp.sum(hat_banded(ys, Hl, off, Htot), axis=2) / s).astype(fcat.dtype)
+    Rx = (jnp.sum(hat_banded(xs, Wl, jnp.zeros_like(off), Wmax), axis=2) / s
+          ).astype(fcat.dtype)
+
+    n_chunks = -(-R // chunk)
+    pad_to = n_chunks * chunk
+
+    def padc(a):
+        return jnp.pad(a, [(0, pad_to - R)] + [(0, 0)] * (a.ndim - 1)).reshape(
+            (n_chunks, chunk) + a.shape[1:]
+        )
+
+    Fy = fcat.reshape(Htot, Wmax * C)
+
+    def one_chunk(_, rw):
+        ry, rx = rw
+        t = jnp.einsum(
+            "bph,hx->bpx", ry, Fy, precision=lax.Precision.DEFAULT
+        ).reshape(chunk, r, Wmax, C)
+        out = jnp.einsum(
+            "bpwc,bqw->bpqc", t, rx, precision=lax.Precision.DEFAULT
+        )
+        return None, out
+
+    _, outs = lax.scan(one_chunk, None, (padc(Ry), padc(Rx)))
+    return outs.reshape(pad_to, r, r, C)[:R]
+
+
+# ---------------------------------------------------------------------------
 # Pallas kernel: the (R, r, W, C) intermediate of the separable formulation
 # never leaves VMEM. The pure-XLA version above round-trips that tensor
 # through HBM (two back-to-back dots are never fused by XLA): for P2 at
