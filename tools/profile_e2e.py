@@ -34,8 +34,10 @@ def main():
         "ChooseData": 3, "DepthMapFactor": 500, "WINDOW_SIZE": 20,
         "MaxTrackPointBG": 3000, "MaxTrackPointOBJ": 800,
     })
+    # match bench.py defaults: detector in bf16
     perception = PerceptionModel(H, W, MaskRCNNConfig(input_h=544, input_w=800),
-                                 seed=0, use_pallas=True)
+                                 seed=0, use_pallas=True,
+                                 mask_dtype=jnp.bfloat16)
     tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,
                       local_ba=True, ba_max_points=1000, ba_iters=10,
                       pipelined=True, fused_ba=True)

@@ -204,16 +204,66 @@ def solve_window_ba(
     gauge_diag = jnp.repeat(gauge_frames.astype(jnp.float32) * GAUGE_WEIGHT, 6)
 
     def normal_system(Twc, X, lam):
-        (r_pt, Jc_pt, Jp_pt, w_pt), (r_od, Ja_od, Jb_od, w_od), cost = _linearize(
-            Twc, X, obs, obs_valid, odom, odom_valid
+        # Structure-exploiting normal equations (see module docstring):
+        # Jc = [-I | hat(Xc)], Jp = Rcw  =>  Hpp = (sum_w w) I is DIAGONAL,
+        # and with E = Jc^T Rcw (6,3 per edge) both the Schur term
+        # sum_p B Hpp^-1 B^T and the pose diagonal sum_p w Jc^T Jc reduce to
+        # (W*6, P*3)-shaped MXU matmuls (E E^T == Jc^T Jc since R R^T = I).
+        # The naive per-block einsum/transpose chain here was profiled at
+        # ~0.66 ms/iteration — the single largest tracking-step item.
+        Tcw = inverse_se3(Twc)
+        Rcw = Tcw[:, :3, :3]                                    # (W, 3, 3)
+        Xc = jnp.einsum("wij,pj->wpi", Rcw, X, precision=_HI) + Tcw[:, None, :3, 3]
+        r_pt = Xc - obs                                          # (W, P, 3)
+        w_info_pt = 1.0 / SIGMA2_3D_STA
+        chi2_pt = jnp.sum(r_pt * r_pt, axis=-1) * w_info_pt
+        w_pt = huber_weight(chi2_pt, DELTA_HUBER) * w_info_pt
+        w_pt = jnp.where(obs_valid, w_pt, 0.0)                   # (W, P)
+
+        # E[w,p] = [[-Rcw],[-hat(Xc) Rcw]] : rows 0..2 = -Rcw, rows 3..5 =
+        # -(Xc x Rcw columns) = cross(Rcw_cols, Xc) per column
+        top = jnp.broadcast_to(-Rcw[:, None], (W, P, 3, 3))
+        cols = Rcw.swapaxes(-1, -2)                              # row j = col j of Rcw
+        bot = jnp.cross(
+            cols[:, None, :, :],                                 # (W,1,3cols,3)
+            Xc[:, :, None, :],                                   # (W,P,1,3)
+            axis=-1,
+        ).swapaxes(-1, -2)                                       # (W,P,3comp,3cols)
+        # bot[w,p,i,j] = (Rcw_col_j x Xc)_i = -(hat(Xc) Rcw)[i,j]
+        E = jnp.concatenate([top, bot], axis=2)                  # (W, P, 6, 3)
+
+        s_p = jnp.sum(w_pt, axis=0) + lam                        # Hpp diag scale
+        s_p = jnp.maximum(s_p, 1e-20)
+        sq_w = jnp.sqrt(w_pt)
+        v = w_pt / jnp.sqrt(s_p)[None, :]
+
+        Ef = E.transpose(0, 2, 1, 3)                             # (W, 6, P, 3)
+        G1 = (Ef * sq_w[:, None, :, None]).reshape(W, 6, P * 3)
+        Gv = (Ef * v[:, None, :, None]).reshape(D, P * 3)
+        # pose-diagonal blocks sum_p w Jc^T Jc = sum_p w E E^T
+        JtJ_c = jnp.einsum("wik,wjk->wij", G1, G1, precision=_HI)  # (W, 6, 6)
+        # Schur subtraction term sum_p (w1 w2 / s) E1 E2^T, ALL pose pairs
+        Schur = Gv @ Gv.T                                        # (D, D)
+
+        # --- odometry edges ---
+        def od_edge(Tp, Tc, M):
+            r = _odom_edge_residual(_Z6, _Z6, Tp, Tc, M)
+            Ja, Jb = _odom_jac(_Z6, _Z6, Tp, Tc, M)
+            return r, Ja, Jb
+
+        r_od, Ja_od, Jb_od = jax.vmap(od_edge)(Twc[:-1], Twc[1:], odom)
+        w_info_od = 1.0 / SIGMA2_CAM
+        chi2_od = jnp.sum(r_od * r_od, axis=-1) * w_info_od
+        w_od = huber_weight(chi2_od, DELTA_HUBER) * w_info_od
+        w_od = jnp.where(odom_valid, w_od, 0.0)
+
+        cost = jnp.sum(_huber_rho(chi2_pt) * obs_valid) + jnp.sum(
+            _huber_rho(chi2_od) * odom_valid
         )
-        # ---- camera-camera blocks (W, W, 6, 6) ----
+
         Hcc = jnp.zeros((W, W, 6, 6))
-        # point-obs diagonal contributions
-        JtJ_c = jnp.einsum("wpij,wp,wpik->wjk", Jc_pt, w_pt, Jc_pt, precision=_HI)
         ii = jnp.arange(W)
         Hcc = Hcc.at[ii, ii].add(JtJ_c)
-        # odometry contributions
         Haa = jnp.einsum("eij,e,eik->ejk", Ja_od, w_od, Ja_od, precision=_HI)
         Hab = jnp.einsum("eij,e,eik->ejk", Ja_od, w_od, Jb_od, precision=_HI)
         Hbb = jnp.einsum("eij,e,eik->ejk", Jb_od, w_od, Jb_od, precision=_HI)
@@ -223,25 +273,13 @@ def solve_window_ba(
         Hcc = Hcc.at[e0 + 1, e0].add(jnp.swapaxes(Hab, -1, -2))
         Hcc = Hcc.at[e0 + 1, e0 + 1].add(Hbb)
         Hcc_f = Hcc.transpose(0, 2, 1, 3).reshape(D, D)
-        Hcc_f = Hcc_f + jnp.diag(gauge_diag)
-        # LM damping
-        Hcc_f = Hcc_f + lam * jnp.eye(D)
-
-        # ---- point blocks ----
-        Hpp = jnp.einsum("wpij,wp,wpik->pjk", Jp_pt, w_pt, Jp_pt, precision=_HI)
-        Hpp = Hpp + lam * jnp.eye(3)[None]
-        # guard: unobserved points get identity (delta forced to 0 by zero rhs)
-        Hpp = jnp.where(
-            point_valid[:, None, None], Hpp, jnp.eye(3)[None]
-        )
-        Hpp_inv = _inv3x3(Hpp)
-
-        # ---- cross blocks: (P, W, 6, 3) -> (P, D, 3) ----
-        Hcp = jnp.einsum("wpij,wp,wpik->pwjk", Jc_pt, w_pt, Jp_pt, precision=_HI)
-        Hcp_f = Hcp.reshape(P, D, 3)
+        Hcc_f = Hcc_f + jnp.diag(gauge_diag) + lam * jnp.eye(D)
 
         # ---- gradients ----
-        g_c = jnp.einsum("wpij,wp,wpi->wj", Jc_pt, w_pt, r_pt, precision=_HI)
+        wr = w_pt[..., None] * r_pt                              # (W, P, 3)
+        g_pt_t = -jnp.sum(wr, axis=1)                            # translation rows
+        g_pt_r = -jnp.sum(jnp.cross(Xc, wr), axis=1)             # rotation rows
+        g_c = jnp.concatenate([g_pt_t, g_pt_r], axis=1)          # (W, 6)
         g_c = g_c.at[:-1].add(
             jnp.einsum("eij,e,ei->ej", Ja_od, w_od, r_od, precision=_HI)
         )
@@ -249,26 +287,25 @@ def solve_window_ba(
             jnp.einsum("eij,e,ei->ej", Jb_od, w_od, r_od, precision=_HI)
         )
         g_c = g_c.reshape(D)
-        g_p = jnp.einsum("wpij,wp,wpi->pj", Jp_pt, w_pt, r_pt, precision=_HI)
+        g_p = jnp.einsum("wij,wpi->pj", Rcw, wr, precision=_HI)  # (P, 3)
 
-        # ---- Schur complement ----
-        M = jnp.einsum("pdi,pij->pdj", Hcp_f, Hpp_inv, precision=_HI)  # (P, D, 3)
-        S = Hcc_f - jnp.einsum("pdi,pei->de", M, Hcp_f, precision=_HI)
-        rhs = g_c - jnp.einsum("pdi,pi->d", M, g_p, precision=_HI)
-        return S, rhs, Hpp_inv, Hcp_f, g_p, cost
+        S = Hcc_f - Schur
+        # rhs = g_c - sum_p (w/s) E g_p
+        Gs = Gv * (1.0 / jnp.sqrt(s_p))[None].repeat(3, 1).reshape(1, -1)
+        rhs = g_c - Gs @ g_p.reshape(P * 3)
+        return S, rhs, s_p, Gs, g_p, cost
 
     def body(state):
         it, Twc, X, lam, nu, cost, done = state
-        S, rhs, Hpp_inv, Hcp_f, g_p, _ = normal_system(Twc, X, lam)
+        S, rhs, s_p, Gs, g_p, _ = normal_system(Twc, X, lam)
         L = jnp.linalg.cholesky(S)
         y = jax.scipy.linalg.solve_triangular(L, -rhs, lower=True)
         dc = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
         bad = jnp.any(jnp.isnan(dc))
         dc = jnp.where(bad, jnp.zeros_like(dc), dc)
-        dp = jnp.einsum(
-            "pij,pj->pi", Hpp_inv, -(g_p + jnp.einsum("pdi,d->pi", Hcp_f, dc, precision=_HI)),
-            precision=_HI,
-        )
+        # dp = Hpp^-1 (-g_p - B^T dc); B^T dc = sqrt(s) * Gs^T dc
+        Bt_dc = (Gs.T @ dc).reshape(P, 3) * jnp.sqrt(s_p)[:, None]
+        dp = -(g_p + Bt_dc) / s_p[:, None]
         dp = jnp.where(point_valid[:, None], dp, 0.0)
         Twc_new = compose(Twc, exp_se3(dc.reshape(W, 6)))
         X_new = X + dp

@@ -853,7 +853,15 @@ class Tracker:
 
         if self.pipelined:
             # ---- software pipeline: hide the fetch + BA round-trips ----
-            # start the async device->host copy of this frame's outputs,
+            # Enqueue the device->host copy of THIS frame's outputs NOW,
+            # directly behind the step dispatch: the tunneled transport is
+            # FIFO, so a d2h issued any later (e.g. next frame, after the
+            # next perception dispatch) would wait for ALL newer device work
+            # before returning — measured as ~a full extra device-frame of
+            # wall time per frame. With the copy in flight, next frame's
+            # blocking device_get returns from the local buffer.
+            out_f.copy_to_host_async()
+            out_i.copy_to_host_async()
             # then (a) fold the PREVIOUS BA result into the map, (b) record
             # the PREVIOUS frame from its already-copied outputs, (c) launch
             # this window's BA asynchronously. The state correction from the
