@@ -68,13 +68,43 @@ def main():
         tracker.ba_deferred = True
 
     rng = np.random.RandomState(0)
+    n_frames = n_warmup + 2 * n_bench + 2
     # pre-upload the input frames (device arrays; the realtime pipeline
     # would stream camera frames, but input upload is off the measured path
-    # for a throughput benchmark)
-    frames = [
-        jnp.asarray((rng.rand(H, W, 3) * 255).astype(np.float32))
-        for _ in range(n_warmup + 2 * n_bench + 2)
-    ]
+    # for a throughput benchmark). VIDO_BENCH_DATA=<dir> benches on stored
+    # RGB frames (sorted *.png/*.jpg/*.npy, cycled if short) instead of the
+    # synthetic default (VERDICT r1: noise input is the solver worst case —
+    # every LM loop runs to its iteration cap).
+    data_dir = os.environ.get("VIDO_BENCH_DATA", "")
+    if data_dir:
+        import glob as _glob
+        paths = sorted(
+            p for p in _glob.glob(os.path.join(data_dir, "*"))
+            if p.lower().endswith((".png", ".jpg", ".jpeg", ".npy"))
+        )
+        if not paths:
+            raise SystemExit(f"VIDO_BENCH_DATA={data_dir}: no frames found")
+
+        def load(p):
+            if p.endswith(".npy"):
+                a = np.load(p)
+            else:
+                from PIL import Image
+                a = np.asarray(Image.open(p).convert("RGB"))
+            a = a.astype(np.float32)
+            if a.shape[:2] != (H, W):
+                a = np.asarray(jax.image.resize(jnp.asarray(a), (H, W, 3),
+                                                "bilinear"))
+            return a
+
+        loaded = [load(p) for p in paths]
+        frames = [jnp.asarray(loaded[i % len(loaded)])
+                  for i in range(n_frames)]
+    else:
+        frames = [
+            jnp.asarray((rng.rand(H, W, 3) * 255).astype(np.float32))
+            for _ in range(n_frames)
+        ]
 
     convert = jax.jit(lambda d: convert_depth(
         d, "kaist", cfg.system.depth_map_factor, cfg.camera.bf, scale=1.0))
@@ -110,24 +140,33 @@ def main():
             dts.append(t2 - t0)
             t_perc.append(t1 - t0)
             t_track.append(t2 - t1)
+        med = lambda x: 1000 * float(np.median(x))
         if os.environ.get("VIDO_BENCH_VERBOSE", "0") == "1":
-            med = lambda x: 1000 * float(np.median(x))
             print(f"# perceive-dispatch {med(t_perc):.1f} ms | track-call "
                   f"{med(t_track):.1f} ms | frame {med(dts):.1f} ms",
                   file=sys.stderr)
-        return float(np.median(dts))
+        return float(np.median(dts)), med(t_perc), med(t_track)
 
-    m1 = measure(n_warmup)
-    m2 = measure(n_warmup + n_bench)
+    m1, p1, tr1 = measure(n_warmup)
+    m2, p2, tr2 = measure(n_warmup + n_bench)
     tracker.finish()
     jax.device_get(tracker.state.Tcw)
 
-    fps = 1.0 / min(m1, m2)
+    # headline: better of two pass-medians (robust to the tunnel's stall
+    # periods); both passes and per-stage medians reported alongside
+    best = min(m1, m2)
+    fps = 1.0 / best
     print(json.dumps({
         "metric": "kaist_e2e_fps",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 30.0, 4),
+        "pass_fps": [round(1.0 / m1, 3), round(1.0 / m2, 3)],
+        "stage_ms": {
+            "perceive_dispatch": round(p1 if m1 <= m2 else p2, 2),
+            "track_call": round(tr1 if m1 <= m2 else tr2, 2),
+        },
+        "input": "data" if data_dir else "synthetic-noise",
     }))
 
 

@@ -284,3 +284,271 @@ def randomize_module(mod: nn.Module, seed: int = 0) -> None:
                 m.bias.normal_(0.0, 0.1, generator=g)
                 m.running_mean.normal_(0.0, 0.2, generator=g)
                 m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+# ---------------------------------------------------------------------------
+# maskrcnn_benchmark: instantiate the REFERENCE backbone / RPN head / ROI
+# heads from /root/reference source. The package's GPU-only seams
+# (layers._C extensions, yacs config) are replaced with minimal stubs; the
+# model code itself (resnet.py, fpn.py, backbone.py, poolers.py, rpn.py,
+# roi_*_feature_extractors.py, roi_*_predictors.py) is executed verbatim.
+# ---------------------------------------------------------------------------
+
+MRB = "mask_rcnn/maskrcnn_benchmark"
+
+
+class _AttrDict(dict):
+    """Tiny yacs.CfgNode stand-in: attribute access + clone()."""
+
+    __getattr__ = dict.__getitem__
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def clone(self):
+        return self
+
+
+def _mask_rcnn_cfg():
+    """The R-50-FPN inference config subset the imported modules read
+    (reference configs/e2e_mask_rcnn_R_50_FPN_1x.yaml over config/defaults.py)."""
+    c = _AttrDict()
+    c.MODEL = _AttrDict(
+        RPN_ONLY=False,
+        RETINANET_ON=False,
+        FBNET_ON=False,
+        MASK_ON=True,
+        CLS_AGNOSTIC_BBOX_REG=False,
+        BACKBONE=_AttrDict(CONV_BODY="R-50-FPN", FREEZE_CONV_BODY_AT=2),
+        RESNETS=_AttrDict(
+            NUM_GROUPS=1,
+            WIDTH_PER_GROUP=64,
+            STRIDE_IN_1X1=True,
+            STEM_OUT_CHANNELS=64,
+            RES2_OUT_CHANNELS=256,
+            BACKBONE_OUT_CHANNELS=256,
+            STEM_FUNC="StemWithFixedBatchNorm",
+            TRANS_FUNC="BottleneckWithFixedBatchNorm",
+            STAGE_WITH_DCN=(False, False, False, False),
+            WITH_MODULATED_DCN=False,
+            DEFORMABLE_GROUPS=1,
+            RES5_DILATION=1,
+        ),
+        FPN=_AttrDict(USE_GN=False, USE_RELU=False),
+        RPN=_AttrDict(RPN_HEAD="SingleConvRPNHead"),
+        ROI_BOX_HEAD=_AttrDict(
+            POOLER_RESOLUTION=7,
+            POOLER_SCALES=(0.25, 0.125, 0.0625, 0.03125),
+            POOLER_SAMPLING_RATIO=2,
+            MLP_HEAD_DIM=1024,
+            USE_GN=False,
+            NUM_CLASSES=81,
+            PREDICTOR="FPNPredictor",
+            FEATURE_EXTRACTOR="FPN2MLPFeatureExtractor",
+        ),
+        ROI_MASK_HEAD=_AttrDict(
+            POOLER_RESOLUTION=14,
+            POOLER_SCALES=(0.25, 0.125, 0.0625, 0.03125),
+            POOLER_SAMPLING_RATIO=2,
+            CONV_LAYERS=(256, 256, 256, 256),
+            USE_GN=False,
+            DILATION=1,
+            PREDICTOR="MaskRCNNC4Predictor",
+            FEATURE_EXTRACTOR="MaskRCNNFPNFeatureExtractor",
+            SHARE_BOX_FEATURE_EXTRACTOR=False,
+        ),
+    )
+    return c
+
+
+class _CPUROIAlign(nn.Module):
+    """CPU torch ROIAlign with the csrc semantics (Detectron-1 convention,
+    csrc/cpu/ROIAlign_cpu.cpp): no half-pixel shift, samples outside
+    (-1, size-1) contribute zero, in-range coordinates clamp. Used by the
+    reference Pooler in place of the _C extension."""
+
+    def __init__(self, output_size, spatial_scale, sampling_ratio):
+        super().__init__()
+        self.output_size = output_size
+        self.spatial_scale = spatial_scale
+        self.sampling_ratio = sampling_ratio
+
+    def forward(self, feat, rois):
+        # feat (N, C, H, W); rois (R, 5) [batch_idx, x1, y1, x2, y2]
+        res = self.output_size[0] if isinstance(
+            self.output_size, (tuple, list)) else self.output_size
+        s = self.sampling_ratio
+        N, C, H, W = feat.shape
+        R = rois.shape[0]
+        out = torch.zeros(R, C, res, res, dtype=feat.dtype)
+        for ri in range(R):
+            b = int(rois[ri, 0])
+            x1, y1, x2, y2 = [float(v) * self.spatial_scale
+                              for v in rois[ri, 1:]]
+            bw = max(x2 - x1, 1.0) / res
+            bh = max(y2 - y1, 1.0) / res
+            for ph in range(res):
+                for pw in range(res):
+                    acc = torch.zeros(C, dtype=feat.dtype)
+                    for iy in range(s):
+                        y = y1 + ph * bh + (iy + 0.5) * bh / s
+                        for ix in range(s):
+                            x = x1 + pw * bw + (ix + 0.5) * bw / s
+                            if y < -1.0 or y > H - 1 or x < -1.0 or x > W - 1:
+                                continue
+                            yc = min(max(y, 0.0), H - 1.0)
+                            xc = min(max(x, 0.0), W - 1.0)
+                            y0, x0 = int(yc), int(xc)
+                            y1i, x1i = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+                            ly, lx = yc - y0, xc - x0
+                            acc += (
+                                feat[b, :, y0, x0] * (1 - ly) * (1 - lx)
+                                + feat[b, :, y0, x1i] * (1 - ly) * lx
+                                + feat[b, :, y1i, x0] * ly * (1 - lx)
+                                + feat[b, :, y1i, x1i] * ly * lx
+                            )
+                    out[ri, :, ph, pw] = acc / (s * s)
+        return out
+
+
+class FakeBoxList:
+    """Minimal BoxList: .bbox (R, 4) xyxy tensor, area(), len()."""
+
+    def __init__(self, bbox):
+        self.bbox = bbox
+
+    def area(self):
+        b = self.bbox
+        return (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+
+    def __len__(self):
+        return self.bbox.shape[0]
+
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def _exec_pkg_module(modname, relpath):
+    spec = importlib.util.spec_from_file_location(
+        modname, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    # attach to parent package so relative/attribute access works
+    parent, _, leaf = modname.rpartition(".")
+    if parent in sys.modules:
+        setattr(sys.modules[parent], leaf, mod)
+    return mod
+
+
+def load_ref_maskrcnn():
+    """Returns (cfg, modules dict) with the reference backbone builder, RPN
+    head class, box/mask feature extractors and predictors, executed from
+    /root/reference source with _C/yacs seams stubbed."""
+    if "maskrcnn_benchmark" in sys.modules:
+        mb = sys.modules["maskrcnn_benchmark"]
+        if getattr(mb, "_vido_loaded", None):
+            return mb._vido_loaded
+
+    for name in [k for k in sys.modules if k.startswith("maskrcnn_benchmark")]:
+        del sys.modules[name]
+
+    mb = _stub_module("maskrcnn_benchmark")
+    mb.__path__ = []
+
+    # layers: real FrozenBatchNorm2d + misc Conv2d/ConvTranspose2d wrappers,
+    # stub ROIAlign (CPU), DFConv2d unused for R-50
+    bn_mod = _exec_pkg_module(
+        "maskrcnn_benchmark._vido_batch_norm", f"{MRB}/layers/batch_norm.py")
+    misc_mod = _exec_pkg_module(
+        "maskrcnn_benchmark._vido_misc", f"{MRB}/layers/misc.py")
+    _stub_module(
+        "maskrcnn_benchmark.layers",
+        FrozenBatchNorm2d=bn_mod.FrozenBatchNorm2d,
+        Conv2d=misc_mod.Conv2d,
+        ConvTranspose2d=misc_mod.ConvTranspose2d,
+        BatchNorm2d=getattr(misc_mod, "BatchNorm2d", nn.BatchNorm2d),
+        interpolate=getattr(misc_mod, "interpolate", None),
+        ROIAlign=_CPUROIAlign,
+        DFConv2d=None,
+    )
+    cfg = _mask_rcnn_cfg()
+    _stub_module("maskrcnn_benchmark.config", cfg=cfg)
+    utils_pkg = _stub_module("maskrcnn_benchmark.utils")
+    utils_pkg.__path__ = []
+    _exec_pkg_module("maskrcnn_benchmark.utils.registry",
+                     f"{MRB}/utils/registry.py")
+
+    modeling = _stub_module("maskrcnn_benchmark.modeling")
+    modeling.__path__ = []
+    _exec_pkg_module("maskrcnn_benchmark.modeling.registry",
+                     f"{MRB}/modeling/registry.py")
+    _exec_pkg_module("maskrcnn_benchmark.modeling.utils",
+                     f"{MRB}/modeling/utils.py")
+    _exec_pkg_module("maskrcnn_benchmark.modeling.poolers",
+                     f"{MRB}/modeling/poolers.py")
+    _exec_pkg_module("maskrcnn_benchmark.modeling.make_layers",
+                     f"{MRB}/modeling/make_layers.py")
+    _exec_pkg_module("maskrcnn_benchmark.modeling.box_coder",
+                     f"{MRB}/modeling/box_coder.py")
+
+    backbone_pkg = _stub_module("maskrcnn_benchmark.modeling.backbone")
+    backbone_pkg.__path__ = []
+    _exec_pkg_module("maskrcnn_benchmark.modeling.backbone.resnet",
+                     f"{MRB}/modeling/backbone/resnet.py")
+    _exec_pkg_module("maskrcnn_benchmark.modeling.backbone.fpn",
+                     f"{MRB}/modeling/backbone/fpn.py")
+    bb = _exec_pkg_module("maskrcnn_benchmark.modeling.backbone.backbone",
+                          f"{MRB}/modeling/backbone/backbone.py")
+
+    # rpn: stub the loss/inference/anchor/retinanet factories (not needed
+    # for head-parity), exec the real rpn.py for RPNHead
+    rpn_pkg = _stub_module("maskrcnn_benchmark.modeling.rpn")
+    rpn_pkg.__path__ = []
+    _stub_module("maskrcnn_benchmark.modeling.rpn.loss",
+                 make_rpn_loss_evaluator=lambda *a, **k: None)
+    _stub_module("maskrcnn_benchmark.modeling.rpn.inference",
+                 make_rpn_postprocessor=lambda *a, **k: None)
+    _stub_module("maskrcnn_benchmark.modeling.rpn.anchor_generator",
+                 make_anchor_generator=lambda *a, **k: None)
+    retinanet_pkg = _stub_module("maskrcnn_benchmark.modeling.rpn.retinanet")
+    retinanet_pkg.__path__ = []
+    _stub_module("maskrcnn_benchmark.modeling.rpn.retinanet.retinanet",
+                 build_retinanet=lambda *a, **k: None)
+    rpn_mod = _exec_pkg_module("maskrcnn_benchmark.modeling.rpn.rpn",
+                               f"{MRB}/modeling/rpn/rpn.py")
+
+    rh_pkg = _stub_module("maskrcnn_benchmark.modeling.roi_heads")
+    rh_pkg.__path__ = []
+    bh_pkg = _stub_module("maskrcnn_benchmark.modeling.roi_heads.box_head")
+    bh_pkg.__path__ = []
+    bfe = _exec_pkg_module(
+        "maskrcnn_benchmark.modeling.roi_heads.box_head.roi_box_feature_extractors",
+        f"{MRB}/modeling/roi_heads/box_head/roi_box_feature_extractors.py")
+    bpr = _exec_pkg_module(
+        "maskrcnn_benchmark.modeling.roi_heads.box_head.roi_box_predictors",
+        f"{MRB}/modeling/roi_heads/box_head/roi_box_predictors.py")
+    mh_pkg = _stub_module("maskrcnn_benchmark.modeling.roi_heads.mask_head")
+    mh_pkg.__path__ = []
+    mfe = _exec_pkg_module(
+        "maskrcnn_benchmark.modeling.roi_heads.mask_head.roi_mask_feature_extractors",
+        f"{MRB}/modeling/roi_heads/mask_head/roi_mask_feature_extractors.py")
+    mpr = _exec_pkg_module(
+        "maskrcnn_benchmark.modeling.roi_heads.mask_head.roi_mask_predictors",
+        f"{MRB}/modeling/roi_heads/mask_head/roi_mask_predictors.py")
+
+    out = (cfg, {
+        "build_backbone": bb.build_backbone,
+        "RPNHead": rpn_mod.RPNHead,
+        "FPN2MLPFeatureExtractor": bfe.FPN2MLPFeatureExtractor,
+        "FPNPredictor": bpr.FPNPredictor,
+        "MaskRCNNFPNFeatureExtractor": mfe.MaskRCNNFPNFeatureExtractor,
+        "MaskRCNNC4Predictor": mpr.MaskRCNNC4Predictor,
+    })
+    sys.modules["maskrcnn_benchmark"]._vido_loaded = out
+    return out

@@ -1,0 +1,164 @@
+"""COCO data pipeline + evaluation (reference maskrcnn_benchmark/data/**):
+dataset loading/remapping/fixed-shape targets, distributed sharding,
+aspect-grouped batching, iteration cycling, and the numpy COCO mAP."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vido_slam_tpu.data import (
+    CocoDetectionDataset,
+    coco_map,
+    grouped_batches,
+    iteration_batches,
+    shard_epoch,
+)
+
+
+@pytest.fixture(scope="module")
+def coco_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    aid = 1
+    sizes = [(120, 160), (160, 120), (96, 128), (128, 96), (100, 100),
+             (140, 180)]
+    for i, (h, w) in enumerate(sizes):
+        name = f"img{i}.npy"
+        np.save(os.path.join(root, name),
+                (rng.rand(h, w, 3) * 255).astype(np.float32))
+        images.append({"id": i + 10, "file_name": name,
+                       "height": h, "width": w})
+        # image 4 (id 14): only a degenerate box -> must be dropped
+        if i == 4:
+            annotations.append({
+                "id": aid, "image_id": i + 10, "category_id": 7,
+                "bbox": [10, 10, 1, 1], "iscrowd": 0})
+            aid += 1
+            continue
+        for _ in range(rng.randint(1, 4)):
+            x, y = rng.randint(0, w // 2), rng.randint(0, h // 2)
+            bw, bh = rng.randint(8, w // 2), rng.randint(8, h // 2)
+            annotations.append({
+                "id": aid, "image_id": i + 10,
+                "category_id": int(rng.choice([3, 7, 21])),
+                "bbox": [int(x), int(y), int(bw), int(bh)], "iscrowd": 0})
+            aid += 1
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 3, "name": "car"}, {"id": 7, "name": "truck"},
+                       {"id": 21, "name": "cow"}],
+    }
+    ann_file = os.path.join(root, "instances.json")
+    with open(ann_file, "w") as f:
+        json.dump(ann, f)
+    return str(root), ann_file
+
+
+class TestCocoDataset:
+    def test_load_filter_remap(self, coco_dir):
+        root, ann_file = coco_dir
+        ds = CocoDetectionDataset(ann_file, root, input_hw=(128, 192),
+                                  max_boxes=8)
+        # image 14 (degenerate-only) dropped (coco.py has_valid_annotation)
+        assert 14 not in ds.ids and len(ds.ids) == 5
+        # contiguous remap 1..3 sorted by json id (coco.py:60-65)
+        assert ds.json_category_id_to_contiguous_id == {3: 1, 7: 2, 21: 3}
+
+    def test_fixed_shape_sample(self, coco_dir):
+        root, ann_file = coco_dir
+        ds = CocoDetectionDataset(ann_file, root, input_hw=(128, 192),
+                                  max_boxes=8, subtract_mean=False)
+        s = ds[0]
+        assert s.image.shape == (128, 192, 3)
+        assert s.boxes.shape == (8, 4) and s.valid.dtype == bool
+        # boxes scaled onto the canvas and within it
+        assert float(s.boxes[s.valid].max()) <= 192
+        n = int(s.valid.sum())
+        assert (s.labels[:n] > 0).all() and (s.labels[n:] == 0).all()
+        # aspect preserved: scale = min over both axes
+        H0, W0 = s.orig_hw
+        assert s.scale == pytest.approx(min(128 / H0, 192 / W0))
+
+    def test_batch_stacking(self, coco_dir):
+        root, ann_file = coco_dir
+        ds = CocoDetectionDataset(ann_file, root, input_hw=(96, 128),
+                                  max_boxes=8, subtract_mean=False)
+        b = ds.batch([0, 1, 2])
+        assert b["image"].shape == (3, 96, 128, 3)
+        assert b["boxes"].shape == (3, 8, 4)
+
+
+class TestSamplers:
+    def test_shard_epoch_disjoint_complete(self):
+        shards = [shard_epoch(10, 4, r, shuffle=True, seed=3)
+                  for r in range(4)]
+        assert all(len(s) == 3 for s in shards)   # ceil(10/4)
+        flat = np.concatenate(shards)
+        # padded by wrap-around; every sample appears at least once
+        assert set(flat.tolist()) == set(range(10))
+        # deterministic for a fixed seed
+        again = shard_epoch(10, 4, 2, shuffle=True, seed=3)
+        np.testing.assert_array_equal(shards[2], again)
+
+    def test_grouped_batches_single_aspect_group(self):
+        ar = [1.5, 0.7, 1.2, 0.8, 1.1, 0.9]
+        batches = grouped_batches(ar, np.arange(6), batch_size=2)
+        for b in batches:
+            g = [ar[i] >= 1.0 for i in b]
+            assert all(g) or not any(g)
+        assert sorted(int(i) for b in batches for i in b) == list(range(6))
+
+    def test_iteration_batches_cycles(self):
+        batches = [np.array([0, 1]), np.array([2, 3])]
+        out = list(iteration_batches(batches, num_iterations=5))
+        assert len(out) == 5
+        np.testing.assert_array_equal(out[4], batches[0])
+
+
+class TestCocoMap:
+    def test_perfect_predictions(self):
+        gt = [{"boxes": np.array([[0, 0, 10, 10], [20, 20, 40, 40.0]]),
+               "labels": np.array([1, 2])}]
+        pred = [{"boxes": gt[0]["boxes"].copy(),
+                 "labels": gt[0]["labels"].copy(),
+                 "scores": np.array([0.9, 0.8])}]
+        m = coco_map(pred, gt)
+        assert m["mAP"] == pytest.approx(1.0)
+        assert m["AP50"] == pytest.approx(1.0)
+
+    def test_miss_and_false_positive(self):
+        gt = [{"boxes": np.array([[0, 0, 10, 10], [20, 20, 40, 40.0]]),
+               "labels": np.array([1, 1])}]
+        # one exact hit ranked first, one far-off false positive
+        pred = [{"boxes": np.array([[0, 0, 10, 10], [60, 60, 70, 70.0]]),
+                 "labels": np.array([1, 1]),
+                 "scores": np.array([0.9, 0.8])}]
+        m = coco_map(pred, gt)
+        # recall caps at 0.5 with precision 1 up to that point:
+        # 101-pt AP ~= 51/101
+        assert m["AP50"] == pytest.approx(51 / 101, abs=1e-6)
+
+    def test_localization_quality_resolved_by_higher_thresholds(self):
+        gt = [{"boxes": np.array([[0, 0, 100, 100.0]]),
+               "labels": np.array([1])}]
+        # IoU ~ 0.6: counts at 0.5, not at 0.75
+        pred = [{"boxes": np.array([[0, 0, 80, 90.0]]),
+                 "labels": np.array([1]), "scores": np.array([0.9])}]
+        m = coco_map(pred, gt)
+        assert m["AP50"] == pytest.approx(1.0)
+        assert m["AP75"] == pytest.approx(0.0)
+        assert 0.0 < m["mAP"] < 1.0
+
+    def test_score_ranking_matters(self):
+        gt = [{"boxes": np.array([[0, 0, 10, 10.0]]),
+               "labels": np.array([1])}]
+        # bad box ranked ABOVE the good one: precision at the hit is 1/2
+        pred = [{"boxes": np.array([[50, 50, 60, 60], [0, 0, 10, 10.0]]),
+                 "labels": np.array([1, 1]),
+                 "scores": np.array([0.9, 0.8])}]
+        m = coco_map(pred, gt)
+        assert m["AP50"] == pytest.approx(0.5, abs=0.01)

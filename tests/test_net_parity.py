@@ -134,3 +134,146 @@ class TestLiteFlowNetWholeNet:
             np.testing.assert_allclose(
                 to_nhwc(ref), np.asarray(ours), atol=1e-5,
                 err_msg=f"stride {stride}")
+
+
+class TestMaskRCNNWholeNet:
+    """Reference maskrcnn_benchmark modules (executed from /root/reference
+    source, GPU seams stubbed — see _ref_import.load_ref_maskrcnn) vs our
+    JAX detector after convert_state_dict. NMS postprocessing is excluded
+    (fixed proposals/boxes), matching VERDICT r1 item 3's scope."""
+
+    H, W = 128, 160
+
+    def _backbone(self):
+        from _ref_import import load_ref_maskrcnn
+        cfg, mods = load_ref_maskrcnn()
+        torch.manual_seed(0)
+        bb = mods["build_backbone"](cfg).eval()
+        randomize_module(bb, seed=3)
+        sd = {f"backbone.{k}": v for k, v in bb.state_dict().items()}
+        params = convert_state_dict(sd)
+        return cfg, mods, bb, params
+
+    def test_backbone_fpn_parity(self):
+        from vido_slam_tpu.models.maskrcnn.backbone import (
+            ResNetConfig, fpn_forward, resnet_stages)
+
+        cfg, mods, bb, params = self._backbone()
+        torch.manual_seed(10)
+        x = torch.randn(1, 3, self.H, self.W)
+        with torch.no_grad():
+            ref_feats = bb(x)
+        ours = fpn_forward(params, resnet_stages(
+            params, jnp.asarray(to_nhwc(x)), ResNetConfig()))
+        assert len(ref_feats) == len(ours) == 5
+        for rf, of in zip(ref_feats, ours):
+            np.testing.assert_allclose(
+                np.asarray(of), to_nhwc(rf), atol=2e-4, rtol=1e-3)
+
+    def test_rpn_head_parity(self):
+        from vido_slam_tpu.models.maskrcnn.rpn import rpn_head
+
+        cfg, mods, bb, params = self._backbone()
+        torch.manual_seed(1)
+        head = mods["RPNHead"](cfg, 256, 3).eval()
+        randomize_module(head, seed=4)
+        params.update(convert_state_dict(
+            {f"rpn.head.{k}": v for k, v in head.state_dict().items()}))
+
+        torch.manual_seed(11)
+        x = torch.randn(1, 3, self.H, self.W)
+        with torch.no_grad():
+            feats = bb(x)
+            ref_logits, ref_deltas = head(feats)
+        for li, f in enumerate(feats):
+            lg, dl = rpn_head(params, jnp.asarray(to_nhwc(f)), 3)
+            np.testing.assert_allclose(
+                np.asarray(lg), to_nhwc(ref_logits[li]), atol=2e-4, rtol=1e-3)
+            np.testing.assert_allclose(
+                np.asarray(dl).reshape(to_nhwc(ref_deltas[li]).shape),
+                to_nhwc(ref_deltas[li]), atol=2e-4, rtol=1e-3)
+
+    def _proposals(self):
+        rng = np.random.RandomState(7)
+        R = 8
+        x1 = rng.uniform(0, self.W * 0.6, R)
+        y1 = rng.uniform(0, self.H * 0.6, R)
+        w = rng.uniform(8, self.W * 0.9, R)
+        h = rng.uniform(8, self.H * 0.9, R)
+        return np.stack(
+            [x1, y1, np.minimum(x1 + w, self.W - 1),
+             np.minimum(y1 + h, self.H - 1)], 1).astype(np.float32)
+
+    def test_box_head_parity_fixed_proposals(self):
+        from _ref_import import FakeBoxList
+        from vido_slam_tpu.models.maskrcnn.roi_heads import box_head_forward
+
+        cfg, mods, bb, params = self._backbone()
+        torch.manual_seed(2)
+        fe = mods["FPN2MLPFeatureExtractor"](cfg, 256).eval()
+        pred = mods["FPNPredictor"](cfg, 1024).eval()
+        randomize_module(fe, seed=5)
+        randomize_module(pred, seed=6)
+        params.update(convert_state_dict(
+            {f"roi_heads.box.feature_extractor.{k}": v
+             for k, v in fe.state_dict().items()}))
+        params.update(convert_state_dict(
+            {f"roi_heads.box.predictor.{k}": v
+             for k, v in pred.state_dict().items()}))
+
+        boxes = self._proposals()
+        torch.manual_seed(12)
+        x = torch.randn(1, 3, self.H, self.W)
+        with torch.no_grad():
+            feats = bb(x)
+            pooled = fe(feats[:4], [FakeBoxList(torch.from_numpy(boxes))])
+            ref_logits, ref_deltas = pred(pooled)
+
+        our_logits, our_deltas = box_head_forward(
+            params, [jnp.asarray(to_nhwc(f))[0] for f in feats[:4]],
+            jnp.asarray(boxes))
+        np.testing.assert_allclose(
+            np.asarray(our_logits), ref_logits.numpy(), atol=3e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(our_deltas).reshape(ref_deltas.shape),
+            ref_deltas.numpy(), atol=3e-4, rtol=1e-3)
+
+    def test_mask_head_parity_fixed_boxes(self):
+        from _ref_import import FakeBoxList
+        from vido_slam_tpu.models.maskrcnn.roi_heads import (
+            Detections, mask_head_forward)
+
+        cfg, mods, bb, params = self._backbone()
+        torch.manual_seed(3)
+        fe = mods["MaskRCNNFPNFeatureExtractor"](cfg, 256).eval()
+        pred = mods["MaskRCNNC4Predictor"](cfg, 256).eval()
+        randomize_module(fe, seed=7)
+        randomize_module(pred, seed=8)
+        params.update(convert_state_dict(
+            {f"roi_heads.mask.feature_extractor.{k}": v
+             for k, v in fe.state_dict().items()}))
+        params.update(convert_state_dict(
+            {f"roi_heads.mask.predictor.{k}": v
+             for k, v in pred.state_dict().items()}))
+
+        boxes = self._proposals()
+        labels = np.arange(1, boxes.shape[0] + 1, dtype=np.int32)
+        torch.manual_seed(13)
+        x = torch.randn(1, 3, self.H, self.W)
+        with torch.no_grad():
+            feats = bb(x)
+            mx = fe(feats[:4], [FakeBoxList(torch.from_numpy(boxes))])
+            ref_logits = pred(mx)                       # (R, 81, 28, 28)
+            ref_probs = torch.sigmoid(ref_logits).numpy()
+        ref_sel = ref_probs[np.arange(boxes.shape[0]), labels]
+
+        det = Detections(
+            boxes=jnp.asarray(boxes),
+            scores=jnp.ones(boxes.shape[0]),
+            labels=jnp.asarray(labels),
+            valid=jnp.ones(boxes.shape[0], bool),
+        )
+        ours = mask_head_forward(
+            params, [jnp.asarray(to_nhwc(f))[0] for f in feats[:4]], det)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref_sel, atol=2e-4, rtol=1e-3)

@@ -37,9 +37,12 @@ class ResNetConfig(NamedTuple):
 
 
 def _bn(p: Params, prefix: str, x):
+    # FrozenBatchNorm2d (layers/batch_norm.py:28): scale = w * var.rsqrt()
+    # with NO epsilon — eps=1e-5 here would break checkpoint parity on
+    # small-variance channels
     return batch_norm(
         x, p[f"{prefix}.weight"], p[f"{prefix}.bias"],
-        p[f"{prefix}.running_mean"], p[f"{prefix}.running_var"],
+        p[f"{prefix}.running_mean"], p[f"{prefix}.running_var"], eps=0.0,
     )
 
 
