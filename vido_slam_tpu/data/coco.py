@@ -40,6 +40,42 @@ class DetectionSample(NamedTuple):
     image_id: int
     scale: float           # canvas = original * scale
     orig_hw: Tuple[int, int]
+    masks: Optional[np.ndarray] = None  # (max_boxes, Hm, Wm) binary
+
+
+def rasterize_polygons(
+    polys: List[List[float]], out_hw: Tuple[int, int],
+    src_hw: Tuple[int, int],
+) -> np.ndarray:
+    """COCO polygon segmentation -> binary mask of out_hw (even-odd
+    scanline fill, the SegmentationMask/pycocotools frPyObjects semantics at
+    the data pipeline's fidelity)."""
+    Hm, Wm = out_hw
+    H0, W0 = src_hw
+    sy, sx = Hm / H0, Wm / W0
+    mask = np.zeros((Hm, Wm), np.float32)
+    for poly in polys:
+        xs = np.asarray(poly[0::2], np.float64) * sx
+        ys = np.asarray(poly[1::2], np.float64) * sy
+        if len(xs) < 3:
+            continue
+        # even-odd fill per pixel-center row
+        for r in range(Hm):
+            yc = r + 0.5
+            x_cross = []
+            for i in range(len(xs)):
+                x1, y1 = xs[i], ys[i]
+                x2, y2 = xs[(i + 1) % len(xs)], ys[(i + 1) % len(xs)]
+                if (y1 <= yc) != (y2 <= yc):
+                    t = (yc - y1) / (y2 - y1)
+                    x_cross.append(x1 + t * (x2 - x1))
+            x_cross.sort()
+            for a, b in zip(x_cross[0::2], x_cross[1::2]):
+                c0 = max(int(np.ceil(a - 0.5)), 0)
+                c1 = min(int(np.floor(b - 0.5)), Wm - 1)
+                if c1 >= c0:
+                    mask[r, c0:c1 + 1] = 1.0
+    return mask
 
 
 def _xywh_to_xyxy(b):
@@ -64,6 +100,7 @@ class CocoDetectionDataset:
         input_hw: Tuple[int, int] = (544, 800),
         max_boxes: int = 64,
         subtract_mean: bool = True,
+        mask_hw: Optional[Tuple[int, int]] = None,  # emit training masks
     ):
         with open(ann_file) as f:
             coco = json.load(f)
@@ -71,6 +108,7 @@ class CocoDetectionDataset:
         self.input_hw = input_hw
         self.max_boxes = max_boxes
         self.subtract_mean = subtract_mean
+        self.mask_hw = mask_hw
 
         self.images: Dict[int, dict] = {im["id"]: im for im in coco["images"]}
         self.anns_by_image: Dict[int, List[dict]] = {
@@ -159,19 +197,39 @@ class CocoDetectionDataset:
         boxes = np.zeros((self.max_boxes, 4), np.float32)
         labels = np.zeros(self.max_boxes, np.int32)
         valid = np.zeros(self.max_boxes, bool)
+        masks = (
+            np.zeros((self.max_boxes,) + tuple(self.mask_hw), np.float32)
+            if self.mask_hw is not None else None
+        )
         for i, obj in enumerate(anno[: self.max_boxes]):
             boxes[i] = np.asarray(_xywh_to_xyxy(obj["bbox"]), np.float32) * scale
             labels[i] = self.json_category_id_to_contiguous_id[obj["category_id"]]
             valid[i] = True
+            if masks is not None:
+                # image-space masks at mask_hw covering the CANVAS extent
+                # (the canvas is original*scale placed at the origin)
+                seg = obj.get("segmentation")
+                src_hw = (Hc / scale, Wc / scale)
+                if isinstance(seg, list) and seg:
+                    masks[i] = rasterize_polygons(seg, self.mask_hw, src_hw)
+                else:
+                    # box-filled fallback (no segmentation in the json)
+                    Hm, Wm = self.mask_hw
+                    b = boxes[i]
+                    r0 = int(np.floor(b[1] / Hc * Hm))
+                    r1 = int(np.ceil((b[3] + 1) / Hc * Hm))
+                    c0 = int(np.floor(b[0] / Wc * Wm))
+                    c1 = int(np.ceil((b[2] + 1) / Wc * Wm))
+                    masks[i, max(r0, 0):r1, max(c0, 0):c1] = 1.0
         return DetectionSample(
             image=canvas, boxes=boxes, labels=labels, valid=valid,
-            image_id=image_id, scale=scale, orig_hw=(H0, W0),
+            image_id=image_id, scale=scale, orig_hw=(H0, W0), masks=masks,
         )
 
     def batch(self, indices) -> Dict[str, np.ndarray]:
         """Stack fixed-shape samples into arrays ready for jnp.asarray."""
         samples = [self[i] for i in indices]
-        return {
+        out = {
             "image": np.stack([s.image for s in samples]),
             "boxes": np.stack([s.boxes for s in samples]),
             "labels": np.stack([s.labels for s in samples]),
@@ -179,3 +237,6 @@ class CocoDetectionDataset:
             "image_id": np.asarray([s.image_id for s in samples], np.int32),
             "scale": np.asarray([s.scale for s in samples], np.float32),
         }
+        if self.mask_hw is not None:
+            out["masks"] = np.stack([s.masks for s in samples])
+        return out

@@ -150,7 +150,16 @@ def estimate_camera_pose(
         num_hypotheses=num_hypotheses,
     )
     mm_ok, mm_count = _count_model_inliers(T_motion_model, pts3d_world, obs_uv, valid, cam)
-    use_ransac = rr.num_inliers > mm_count
+    # DELIBERATE deviation from the reference's strict '>' (Tracking.cc:2012
+    # `inliers.rows > MM_inlier.size()`): on an exact tie the RANSAC estimate
+    # wins here. The motion-model hypothesis composes two previous pose
+    # estimates, so its error is ~2e_t - e_{t-1}; if a flat reprojection
+    # valley (low-parallax yaw/lateral ambiguity) lets BOTH hypotheses pass
+    # every point at 0.4 px, picking the motion model every frame closes an
+    # unstable feedback loop (measured ~1.55x rotation error growth per frame
+    # on a ground-plane scene). The RANSAC pose is re-derived from data each
+    # frame and only drifts.
+    use_ransac = rr.num_inliers >= mm_count
     T_init = jnp.where(use_ransac, rr.T, T_motion_model)
     init_inl = jnp.where(use_ransac, rr.inliers, mm_ok)
     return pose_optimization(T_init, pts3d_world, obs_uv, init_inl, cam)
@@ -182,7 +191,8 @@ def estimate_object_motion(
     M_mm = compose(Tcw, H_motion_model)
     mm_ok, mm_count = _count_model_inliers(M_mm, pts3d_world, obs_uv, valid, cam)
     mm_count = jnp.where(has_motion_model, mm_count, -1)
-    use_ransac = rr.num_inliers > mm_count
+    # ties prefer RANSAC — same stability reasoning as estimate_camera_pose
+    use_ransac = rr.num_inliers >= mm_count
     M_init = jnp.where(use_ransac, rr.T, M_mm)
     init_inl = jnp.where(use_ransac, rr.inliers, mm_ok)
     H_init = compose(inverse_se3(Tcw), M_init)

@@ -20,8 +20,9 @@ H_pp inverted in closed form, reduced camera system solved dense — a 6W x 6W
 Cholesky is tiny and MXU-friendly, replacing g2o's CSparse). Per-edge
 Jacobians come from vmapped `jax.jacfwd` of the local 6/3-dim perturbations,
 so the analytic structure is exact by construction. Gauge: the first window
-pose is frozen via a large diagonal prior (the reference relies on an
-EdgeSE3Prior for the first window only, Optimizer.cc:230-238).
+pose is frozen by exact pinning of its rows/cols in the reduced system
+(g2o setFixed semantics; the reference relies on an EdgeSE3Prior for the
+first window only, Optimizer.cc:230-238).
 """
 
 from __future__ import annotations
@@ -179,7 +180,7 @@ def _cost_only(Twc, X, obs, obs_valid, odom, odom_valid):
     )
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "gain_tol"))
 def solve_window_ba(
     Twc0: jnp.ndarray,       # (W, 4, 4) initial poses (camera->world)
     odom: jnp.ndarray,       # (W-1, 4, 4) measured relative motions
@@ -191,6 +192,7 @@ def solve_window_ba(
     frame_valid: jnp.ndarray = None,  # (W,) bool — False for front padding
     *,
     max_iters: int = 20,
+    gain_tol: float = 1e-3,
 ) -> WindowBAResult:
     W = Twc0.shape[0]
     P = X0.shape[0]
@@ -198,10 +200,16 @@ def solve_window_ba(
     obs_valid = obs_valid & point_valid[None, :]
     if frame_valid is None:
         frame_valid = jnp.ones(W, bool)
-    # gauge: freeze every pad pose plus the first real pose
+    # gauge: freeze every pad pose plus the first real pose. Pinning is
+    # EXACT (g2o setFixed semantics): the gauge rows/cols of the reduced
+    # camera system are zeroed and identity-pinned so dc=0 there. A large
+    # soft diagonal prior (the earlier design) leaves the 6Wx6W Cholesky
+    # with a ~1e10 condition-number floor, which costs ~3 significant
+    # digits of the step in f32 — measurable as fused-vs-host per-step
+    # rotation disagreement on CPU backends.
     first_real = jnp.argmax(frame_valid)
     gauge_frames = ~frame_valid | (jnp.arange(W) == first_real)
-    gauge_diag = jnp.repeat(gauge_frames.astype(jnp.float32) * GAUGE_WEIGHT, 6)
+    free_d = jnp.repeat((~gauge_frames).astype(jnp.float32), 6)  # (D,)
 
     def normal_system(Twc, X, lam):
         # Structure-exploiting normal equations (see module docstring):
@@ -273,7 +281,7 @@ def solve_window_ba(
         Hcc = Hcc.at[e0 + 1, e0].add(jnp.swapaxes(Hab, -1, -2))
         Hcc = Hcc.at[e0 + 1, e0 + 1].add(Hbb)
         Hcc_f = Hcc.transpose(0, 2, 1, 3).reshape(D, D)
-        Hcc_f = Hcc_f + jnp.diag(gauge_diag) + lam * jnp.eye(D)
+        Hcc_f = Hcc_f + lam * jnp.eye(D)
 
         # ---- gradients ----
         wr = w_pt[..., None] * r_pt                              # (W, P, 3)
@@ -293,6 +301,9 @@ def solve_window_ba(
         # rhs = g_c - sum_p (w/s) E g_p
         Gs = Gv * (1.0 / jnp.sqrt(s_p))[None].repeat(3, 1).reshape(1, -1)
         rhs = g_c - Gs @ g_p.reshape(P * 3)
+        # exact gauge pinning: eliminate the fixed pose variables
+        S = S * (free_d[:, None] * free_d[None, :]) + jnp.diag(1.0 - free_d)
+        rhs = rhs * free_d
         return S, rhs, s_p, Gs, g_p, cost
 
     def body(state):
@@ -319,7 +330,7 @@ def solve_window_ba(
         rel_impr = (cost - cost_next) / jnp.maximum(cost, 1e-20)
         # SparseOptimizerTerminateAction gain threshold 1e-3
         # (Optimizer.cc:182-184): stop when the relative chi2 gain drops
-        done_new = accept & (rel_impr < 1e-3)
+        done_new = accept & (rel_impr < gain_tol)
         return (it + 1, Twc_next, X_next, lam_new, nu_new, cost_next, done_new)
 
     def cond(state):

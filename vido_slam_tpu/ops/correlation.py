@@ -117,7 +117,9 @@ def _corr_kernel(f1_ref, f2m_ref, f2c_ref, f2p_ref, out_ref, *, stride: int,
             ch = (p + 3) * 7 + (o + 3)
             # write each tap straight to the output block so Mosaic can free
             # the slice buffers between taps (a 49-way stack OOMs VMEM)
-            out_ref[0, :, :, ch] = jnp.sum(f1s * f2s, axis=-1) * inv_c
+            out_ref[0, :, :, ch] = (
+                jnp.sum(f1s * f2s, axis=-1) * inv_c
+            ).astype(out_ref.dtype)
 
 
 def _vmem_estimate(TH: int, W: int, C: int, s: int) -> int:

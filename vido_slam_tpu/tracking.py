@@ -101,7 +101,6 @@ class TrackState(NamedTuple):
     ba_obs: jnp.ndarray          # (W, N_bg, 3) camera-frame backprojections
     ba_obs_valid: jnp.ndarray    # (W, N_bg)
     ba_age: jnp.ndarray          # (N_bg,) consecutive-valid run of the slot
-    ba_anchor: jnp.ndarray       # (N_bg, 3) world point at track start
     ba_Twc: jnp.ndarray          # (W, 4, 4) refined window poses
     ba_odom: jnp.ndarray         # (W, 4, 4) tracked motion frame w-1 -> w
     ba_odom_valid: jnp.ndarray   # (W,)
@@ -353,7 +352,6 @@ def _track_step(
         jnp.where(stat_new | ~prev_valid, 1, state.ba_age + 1),
         0,
     )
-    anchor = jnp.where((age == 1)[:, None], stat_3d, state.ba_anchor)
     ba_obs = jnp.concatenate([state.ba_obs[1:], obs_cur[None]])
     ba_obs_valid = jnp.concatenate(
         [state.ba_obs_valid[1:], renewed_stat.valid[None]])
@@ -373,11 +371,25 @@ def _track_step(
         score = jnp.where(count >= 3, count, -1)
         _, sel = jax.lax.top_k(score, ba_points)
         sel_ok = score[sel] > 0
+        # anchors re-derived each solve from the first in-run observation
+        # mapped through the CURRENT ring pose (assembly.py X0 semantics).
+        # A persistent refined-anchor state (the earlier design) closes a
+        # pose->point->pose feedback loop that is marginally unstable on
+        # yaw-ambiguous scenes (~1.55x error growth per frame, saturating
+        # in a Huber-saturated period-2 zigzag local minimum); measurement
+        # -derived anchors keep every solve tied to the data.
+        first_w = jnp.argmax(wv, axis=0)                     # (N,)
+        obs_first = ba_obs[first_w, jnp.arange(ba_obs.shape[1])]
+        T_first = ba_Twc[first_w]                            # (N, 4, 4)
+        anchors = (
+            jnp.einsum("nij,nj->ni", T_first[:, :3, :3], obs_first)
+            + T_first[:, :3, 3]
+        )
         res = solve_window_ba(
             jnp.where(frame_valid[:, None, None], ba_Twc, jnp.eye(4)),
             ba_odom[1:],
             ba_odom_valid[1:] & frame_valid[:-1] & frame_valid[1:],
-            anchor[sel],
+            anchors[sel],
             ba_obs[:, sel],
             wv[:, sel],
             sel_ok,
@@ -385,8 +397,6 @@ def _track_step(
             max_iters=ba_iters,
         )
         Tcw_out = inverse_se3(res.Twc[-1])
-        anchor = anchor.at[sel].set(
-            jnp.where(sel_ok[:, None], res.points, anchor[sel]))
         ba_Twc = jnp.where(frame_valid[:, None, None], res.Twc, ba_Twc)
         out_ba = (res.Twc, res.points, sel.astype(jnp.int32), sel_ok, nf)
     else:
@@ -408,7 +418,6 @@ def _track_step(
         ba_obs=ba_obs,
         ba_obs_valid=ba_obs_valid,
         ba_age=age,
-        ba_anchor=anchor,
         ba_Twc=ba_Twc,
         ba_odom=ba_odom,
         ba_odom_valid=ba_odom_valid,
@@ -784,7 +793,6 @@ class Tracker:
             ba_obs=jnp.zeros((W, self.n_bg, 3)).at[-1].set(obs0),
             ba_obs_valid=jnp.zeros((W, self.n_bg), bool).at[-1].set(stat.valid),
             ba_age=stat.valid.astype(jnp.int32),
-            ba_anchor=stat_3d0,
             ba_Twc=jnp.tile(jnp.eye(4), (W, 1, 1)),
             ba_odom=jnp.tile(jnp.eye(4), (W, 1, 1)),
             ba_odom_valid=jnp.zeros(W, bool),
