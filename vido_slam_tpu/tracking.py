@@ -105,6 +105,9 @@ class TrackState(NamedTuple):
     ba_odom: jnp.ndarray         # (W, 4, 4) tracked motion frame w-1 -> w
     ba_odom_valid: jnp.ndarray   # (W,)
     ba_nframes: jnp.ndarray      # scalar int32, frames pushed (clipped)
+    # PRNG key lives in device state: a host-side jax.random.split + key
+    # transfer per frame costs ~2 RPC dispatches on the tunneled transport
+    key: jnp.ndarray             # (2,) uint32
 
 
 class StepOutputs(NamedTuple):
@@ -159,7 +162,6 @@ def _track_step(
     flow: jnp.ndarray,
     mask: jnp.ndarray,
     gray: jnp.ndarray,
-    key: jnp.ndarray,
     cam: Camera,
     *,
     use_fast: bool,
@@ -178,7 +180,7 @@ def _track_step(
     ba_points: int = 1000,
     ba_iters: int = 10,
 ):
-    k_cam, k_obj, k_fresh = jax.random.split(key, 3)
+    k_cam, k_obj, k_fresh, k_next = jax.random.split(state.key, 4)
 
     # -- 0. mask repair: recover objects the detector missed ---------
     mask = update_mask(mask, state.last_mask, state.last_flow)
@@ -422,6 +424,7 @@ def _track_step(
         ba_odom=ba_odom,
         ba_odom_valid=ba_odom_valid,
         ba_nframes=nf,
+        key=k_next,
     )
     outputs = StepOutputs(
         Tcw=Tcw,
@@ -487,6 +490,7 @@ class Tracker:
         self.n_obj = n_obj
         self.max_objects = max_objects
         self.key = jax.random.PRNGKey(seed)
+        self._gray_zero = None
         self.map = SlamMap()
         self.object_tracker = ObjectTracker()
         self.state: Optional[TrackState] = None
@@ -568,18 +572,18 @@ class Tracker:
         # each device_get leaf is its own serialized RPC on the tunneled
         # transport, and the ~36-leaf fetch profiled at ~48 ms/frame — the
         # pack makes the per-frame fetch 2 leaves (utils/packing.py)
-        def packed_step(state, depth, flow, mask, gray, key):
-            new_state, out = raw_step(state, depth, flow, mask, gray, key)
+        def packed_step(state, depth, flow, mask, gray):
+            new_state, out = raw_step(state, depth, flow, mask, gray)
             fbuf, ibuf = pack_pytree(out)
             return new_state, fbuf, ibuf
 
         self._step = jax.jit(packed_step)
         self._out_spec = None
 
-    def _ensure_out_spec(self, state, depth, flow, mask, gray, key):
+    def _ensure_out_spec(self, state, depth, flow, mask, gray):
         if self._out_spec is None:
             struct = jax.eval_shape(
-                self._raw_step, state, depth, flow, mask, gray, key)[1]
+                self._raw_step, state, depth, flow, mask, gray)[1]
             self._out_spec = make_spec(struct)
 
     def _fetch_outputs(self, packed):
@@ -797,6 +801,7 @@ class Tracker:
             ba_odom=jnp.tile(jnp.eye(4), (W, 1, 1)),
             ba_odom_valid=jnp.zeros(W, bool),
             ba_nframes=jnp.int32(1),
+            key=self._next_key(),
         )
         stat_3d = stat_3d0
         obj_3d = unproject_to_world(self.cam, obj.uv, obj.depth, Tcw)
@@ -829,8 +834,13 @@ class Tracker:
         if image is None and self.use_fast:
             self.use_fast = False
             self._build_step()
-        gray = (jnp.zeros((self.cam.height, self.cam.width), jnp.float32)
-                if image is None else jnp.asarray(image, jnp.float32))
+        if image is None:
+            if self._gray_zero is None:
+                self._gray_zero = jnp.zeros(
+                    (self.cam.height, self.cam.width), jnp.float32)
+            gray = self._gray_zero
+        else:
+            gray = jnp.asarray(image, jnp.float32)
         if self.state is None:
             self.initialize(depth, flow, mask, Tcw_gt,
                             timestamp if timestamp is not None else 0.0,
@@ -852,10 +862,9 @@ class Tracker:
         flow = jnp.asarray(flow)
         mask = jnp.asarray(mask, jnp.int32)
 
-        key = self._next_key()
-        self._ensure_out_spec(self.state, depth, flow, mask, gray, key)
+        self._ensure_out_spec(self.state, depth, flow, mask, gray)
         new_state, out_f, out_i = self._step(self.state, depth, flow, mask,
-                                             gray, key)
+                                             gray)
         out = (out_f, out_i)
         self.state = new_state
 
