@@ -106,13 +106,11 @@ def main():
             for _ in range(n_frames)
         ]
 
-    convert = jax.jit(lambda d: convert_depth(
-        d, "kaist", cfg.system.depth_map_factor, cfg.camera.bf, scale=1.0))
-
-    def perceive(prev_img, cur_img):
-        out = perception(prev_img, cur_img)
-        # on-device handoff: no host round-trip between perception and SLAM
-        return (convert(out.depth_u16), out.flow, out.mask.astype(jnp.int32))
+    # ONE program from frames to SLAM inputs: perception + depth conversion
+    # + mask cast fused (on-device handoff, no host round-trip, and no extra
+    # per-frame program dispatches on the tunneled transport)
+    perceive = perception.make_slam_forward(
+        "kaist", cfg.system.depth_map_factor, cfg.camera.bf, scale=1.0)
 
     # warmup (compilation)
     for i in range(n_warmup):

@@ -96,7 +96,8 @@ def _solve_spd(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("residual_fn", "max_iters", "huber_delta", "jac_mode"),
+    static_argnames=("residual_fn", "max_iters", "huber_delta", "jac_mode",
+                     "jac_fn", "retract_fn", "tangent_dim"),
 )
 def lm_solve(
     residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -110,6 +111,9 @@ def lm_solve(
     gain_tol: float = 1e-9,
     rel_tol: float = 1e-5,
     jac_mode: str = "fwd",
+    jac_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    retract_fn: Optional[Callable] = None,
+    tangent_dim: Optional[int] = None,
 ) -> LMResult:
     """Minimise 0.5 * sum_n w_n * rho(|r_n(x)|^2) over x.
 
@@ -130,10 +134,31 @@ def lm_solve(
         182-184). Each extra while_loop trip costs fixed device time, so a
         live early-exit is what keeps the per-frame solves cheap on TPU.
       jac_mode: "fwd" (few params) or "rev" (many params, few residuals).
+      jac_fn: optional ANALYTIC Jacobian x -> (N, d, P); replaces the
+        autodiff pass. The per-frame LM while-loops are op-count bound on
+        TPU, and a closed-form J roughly halves the body (profiled).
+      retract_fn: optional manifold retraction (x, delta (P,)) -> x. When
+        given, the state x may be any array (e.g. a (4, 4) SE(3) matrix),
+        `tangent_dim` fixes P, residual_fn/jac_fn receive the STATE, and
+        the chart is re-centered every iteration — g2o's vertex oplus
+        semantics, where each accepted step applies the increment to the
+        estimate and the next linearisation happens at zero.
     """
     x0 = jnp.asarray(x0)
-    P = x0.shape[0]
-    jac_fn = jax.jacfwd(residual_fn) if jac_mode == "fwd" else jax.jacrev(residual_fn)
+    if retract_fn is None:
+        P = x0.shape[0]
+        retract_fn = lambda x, d: x + d
+    else:
+        assert tangent_dim is not None, "tangent_dim required with retract_fn"
+        P = tangent_dim
+    if jac_fn is None:
+        if retract_fn is not None and tangent_dim is not None:
+            def jac_fn(x):
+                return jax.jacfwd(
+                    lambda d: residual_fn(retract_fn(x, d)))(jnp.zeros(P))
+        else:
+            jac_fn = (jax.jacfwd(residual_fn) if jac_mode == "fwd"
+                      else jax.jacrev(residual_fn))
 
     def block_stats(x):
         r = residual_fn(x)  # (N, d)
@@ -193,7 +218,7 @@ def lm_solve(
         # numerical failure guard: if cholesky produced nans, reject step
         bad = jnp.any(jnp.isnan(delta))
         delta = jnp.where(bad, jnp.zeros_like(delta), delta)
-        x_new = x + delta
+        x_new = retract_fn(x, delta)
         # ONE linearisation per iteration: H/g/cost at the trial point. On
         # accept they become the next state; on reject the old H/g/cost are
         # kept (same x, only lam changes) — the wasted Jacobian on a reject

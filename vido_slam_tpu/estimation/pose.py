@@ -58,6 +58,32 @@ def _project(cam: Camera, pts_cam: jnp.ndarray) -> jnp.ndarray:
     return cam.project(pts_cam)
 
 
+def _proj_jac_times(cam: Camera, pc: jnp.ndarray, M: jnp.ndarray,
+                    eps: float = 1e-6) -> jnp.ndarray:
+    """J_proj(pc) @ M for camera-frame points pc (N, 3) and per-point right
+    factors M (N, 3, 6): the 2x3 projection Jacobian
+      [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]
+    applied without materialising it (matches Camera.project's z guard)."""
+    z = pc[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < eps, jnp.full_like(z, eps), z)
+    iz = 1.0 / z_safe
+    ru = cam.fx * iz[:, None] * (M[:, 0] - (pc[:, 0] * iz)[:, None] * M[:, 2])
+    rv = cam.fy * iz[:, None] * (M[:, 1] - (pc[:, 1] * iz)[:, None] * M[:, 2])
+    return jnp.stack([ru, rv], axis=1)              # (N, 2, 6)
+
+
+def _hat_rows(p: jnp.ndarray) -> jnp.ndarray:
+    """[I | -hat(p)] per point: d(delta_rho + delta_phi x p)/d[rho, phi]."""
+    from vido_slam_tpu.geometry.so3 import hat
+    N = p.shape[0]
+    I = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), (N, 3, 3))
+    return jnp.concatenate([I, -hat(p)], axis=-1)   # (N, 3, 6)
+
+
+def _se3_retract(T, delta):
+    return compose(exp_se3(delta), T)
+
+
 @partial(jax.jit, static_argnames=("max_iters",))
 def pose_optimization(
     T_init: jnp.ndarray,
@@ -67,21 +93,33 @@ def pose_optimization(
     cam: Camera,
     max_iters: int = POSE_ITERS,
 ) -> PoseEstimate:
-    """LM refine of the camera pose on fixed correspondences."""
+    """LM refine of the camera pose on fixed correspondences.
 
-    def residual(xi):
-        T = compose(exp_se3(xi), T_init)
+    Runs on the SE(3) manifold with per-iteration re-centering (g2o vertex
+    oplus semantics) and a closed-form Jacobian: left perturbation
+    T <- exp(d) T gives d pc = d_rho + d_phi x pc, so
+    J = J_proj(pc) [I | -hat(pc)] — the autodiff pass through exp/compose
+    was the dominant op count of this while-loop body on TPU."""
+
+    def residual(T):
         pc = jnp.einsum("nj,ij->ni", pts3d_world, T[:3, :3], precision=_HI) + T[:3, 3]
         return _project(cam, pc) - obs_uv
 
+    def jac(T):
+        pc = jnp.einsum("nj,ij->ni", pts3d_world, T[:3, :3], precision=_HI) + T[:3, 3]
+        return _proj_jac_times(cam, pc, _hat_rows(pc))
+
     res = lm_solve(
         residual,
-        jnp.zeros(6, dtype=jnp.float32),
+        T_init,
         mask=valid,
         max_iters=max_iters,
         huber_delta=HUBER_DELTA_POSE,
+        jac_fn=jac,
+        retract_fn=_se3_retract,
+        tangent_dim=6,
     )
-    T_opt = compose(exp_se3(res.x), T_init)
+    T_opt = res.x
     inl = (res.chi2 <= RP_THRES) & valid
     return PoseEstimate(T=T_opt, inliers=inl, num_inliers=jnp.sum(inl), chi2=res.chi2)
 
@@ -103,20 +141,29 @@ def object_motion_optimization(
     (Optimizer.cc:2890-2892). No robust kernel, matching the reference.
     """
 
-    def residual(xi):
-        H = compose(exp_se3(xi), H_init)
+    def residual(H):
         pw = jnp.einsum("nj,ij->ni", pts3d_world, H[:3, :3], precision=_HI) + H[:3, 3]
         pc = jnp.einsum("nj,ij->ni", pw, Tcw[:3, :3], precision=_HI) + Tcw[:3, 3]
         return _project(cam, pc) - obs_uv
 
+    def jac(H):
+        # H <- exp(d) H: d pw = d_rho + d_phi x pw; d pc = Rcw d pw
+        pw = jnp.einsum("nj,ij->ni", pts3d_world, H[:3, :3], precision=_HI) + H[:3, 3]
+        pc = jnp.einsum("nj,ij->ni", pw, Tcw[:3, :3], precision=_HI) + Tcw[:3, 3]
+        M = jnp.einsum("ij,njk->nik", Tcw[:3, :3], _hat_rows(pw), precision=_HI)
+        return _proj_jac_times(cam, pc, M)
+
     res = lm_solve(
         residual,
-        jnp.zeros(6, dtype=jnp.float32),
+        H_init,
         mask=valid,
         max_iters=max_iters,
         huber_delta=None,
+        jac_fn=jac,
+        retract_fn=_se3_retract,
+        tangent_dim=6,
     )
-    H_opt = compose(exp_se3(res.x), H_init)
+    H_opt = res.x
     inl = (res.chi2 <= RP_THRES) & valid
     return PoseEstimate(T=H_opt, inliers=inl, num_inliers=jnp.sum(inl), chi2=res.chi2)
 

@@ -43,20 +43,30 @@ def update_mask(
     recover = (last_count >= MIN_RECOVER_PX) & (cur_count == 0)
     recover = recover.at[0].set(False)
 
-    # forward-warp the recovered labels
-    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    tx = jnp.round(uu + last_flow[..., 0]).astype(jnp.int32)
-    ty = jnp.round(vv + last_flow[..., 1]).astype(jnp.int32)
-    # recover[last_c] as a fused compare+reduce table lookup (gather-free)
-    recover_px = jnp.sum(
-        (last_flat[:, None] == bins[None, :]) & recover[None, :], axis=1
-    ).reshape(H, W)
-    src_val = jnp.where(recover_px, last_c, 0)
-    in_b = (tx >= 0) & (tx < W) & (ty >= 0) & (ty < H) & (src_val > 0)
-    tx = jnp.where(in_b, tx, 0)
-    ty = jnp.where(in_b, ty, 0)
-    warped = jnp.zeros((H, W), jnp.int32).at[ty, tx].max(
-        jnp.where(in_b, src_val, 0)
+    # forward-warp the recovered labels. The image-wide scatter-max lowers
+    # to a ~1 ms serial custom fusion on TPU, but recovery is the RARE path
+    # (an object must vanish from the detector while >= 100 px last frame):
+    # gate the warp behind lax.cond so the common no-recovery frame pays
+    # only the histogram reduction above.
+    def do_warp(_):
+        vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        tx = jnp.round(uu + last_flow[..., 0]).astype(jnp.int32)
+        ty = jnp.round(vv + last_flow[..., 1]).astype(jnp.int32)
+        # recover[last_c] as a fused compare+reduce lookup (gather-free)
+        recover_px = jnp.sum(
+            (last_flat[:, None] == bins[None, :]) & recover[None, :], axis=1
+        ).reshape(H, W)
+        src_val = jnp.where(recover_px, last_c, 0)
+        in_b = (tx >= 0) & (tx < W) & (ty >= 0) & (ty < H) & (src_val > 0)
+        tx = jnp.where(in_b, tx, 0)
+        ty = jnp.where(in_b, ty, 0)
+        return jnp.zeros((H, W), jnp.int32).at[ty, tx].max(
+            jnp.where(in_b, src_val, 0)
+        )
+
+    warped = jax.lax.cond(
+        jnp.any(recover), do_warp,
+        lambda _: jnp.zeros((H, W), jnp.int32), None,
     )
     return jnp.where((cur_mask == 0) & (warped > 0), warped, cur_mask)

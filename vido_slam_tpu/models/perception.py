@@ -163,3 +163,25 @@ class PerceptionModel:
     def __call__(self, prev_bgr, cur_bgr) -> PerceptionOutput:
         return self._fwd(jnp.asarray(prev_bgr, jnp.float32),
                          jnp.asarray(cur_bgr, jnp.float32))
+
+    def make_slam_forward(self, depth_mode: str, depth_map_factor: float,
+                          bf: float, scale: float = 1.0):
+        """One jitted program from raw frames to SLAM-ready inputs
+        (metric depth, flow, int32 mask). Folding the service-parity depth
+        conversion + mask cast into the perception graph removes two extra
+        per-frame program dispatches — each program boundary costs tunnel
+        scheduling on a remote TPU transport."""
+        from vido_slam_tpu.geometry.camera import convert_depth
+
+        @jax.jit
+        def fwd(prev_bgr, cur_bgr):
+            out = perception_forward(
+                self.depth_params, self.flow_params, self.mask_params,
+                prev_bgr, cur_bgr, height=self.height, width=self.width,
+                mask_cfg=self.mask_cfg, use_pallas=self.use_pallas,
+            )
+            depth = convert_depth(out.depth_u16, depth_mode,
+                                  depth_map_factor, bf, scale=scale)
+            return depth, out.flow, out.mask.astype(jnp.int32)
+
+        return fwd

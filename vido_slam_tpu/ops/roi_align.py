@@ -24,8 +24,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _hat_weights(pos: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -194,104 +192,14 @@ def roi_align_multilevel(
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel: the (R, r, W, C) intermediate of the separable formulation
-# never leaves VMEM. The pure-XLA version above round-trips that tensor
-# through HBM (two back-to-back dots are never fused by XLA): for P2 at
-# R=1000 that is 2 x 1.4 GB of traffic — profiled at 4.6 ms of the 6.8 ms
-# box head. Here the y-contraction is one large shared matmul per (ROI
-# block, W tile) and the x-contraction consumes t directly from VMEM.
+# A VMEM-resident Pallas variant was explored and REMOVED (see git history):
+# keeping the (chunk, r, W, C) intermediate in VMEM avoids its HBM
+# round-trip, but the x-contraction then decomposes into per-ROI
+# (M=7, K=W_tile, N=C) dots that underfill the 128x128 MXU ~18x — measured
+# slower than the XLA path above except on the smallest pyramid level, and
+# the banded/sorted-window redesign hits the same per-ROI-small-matmul wall
+# (the separable structure fundamentally wants per-ROI weight matrices).
+# The XLA formulation's y-contraction runs near MXU peak and the t
+# round-trip is the residual cost; revisit only if Mosaic gains fused
+# multi-dot support.
 # ---------------------------------------------------------------------------
-
-def _roi_align_kernel(ry_ref, rx_ref, f_ref, out_ref, *, r, wt, C):
-    j = pl.program_id(1)
-    B = ry_ref.shape[0]
-    H = ry_ref.shape[2]
-    ry = ry_ref[:].reshape(B * r, H)
-    # y-contraction: one big shared matmul, lanes = Wt*C
-    t = jax.lax.dot_general(
-        ry, f_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(B, r, wt, C)
-    # x-contraction per ROI: batched (Wt, r)^T x (Wt, r*C) dots. rx is laid
-    # out (B, Wt, r) so its block satisfies the TPU (8, 128)/full-dim tiling
-    # rule ((bw, r) with bw % 8 == 0, r == full dim). NB measured on v5e:
-    # these B tiny dots (M=7) underfill the MXU, so this kernel only beats
-    # the XLA path on small levels (P5) — kept for dtype-following bf16 use
-    # and as the basis for further tuning, NOT wired as the default.
-    part = jax.lax.dot_general(
-        rx_ref[:], t,
-        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (B, q, p, C)
-    part = part.transpose(0, 2, 1, 3)
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = part
-
-    @pl.when(j > 0)
-    def _():
-        out_ref[:] = out_ref[:] + part
-
-
-@partial(jax.jit, static_argnames=("resolution", "sampling_ratio", "block_r",
-                                   "block_w"))
-def roi_align_pallas(
-    feat: jnp.ndarray,      # (H, W, C)
-    rois: jnp.ndarray,      # (R, 4) xyxy image coords
-    spatial_scale: float,
-    resolution: int = 7,
-    sampling_ratio: int = 2,
-    block_r: int = 32,
-    block_w: int = 16,
-) -> jnp.ndarray:
-    """VMEM-resident separable ROIAlign; numerics equal `roi_align`."""
-    H, W, C = feat.shape
-    r = resolution
-    s = sampling_ratio
-    R = rois.shape[0]
-
-    x1 = rois[:, 0] * spatial_scale
-    y1 = rois[:, 1] * spatial_scale
-    x2 = rois[:, 2] * spatial_scale
-    y2 = rois[:, 3] * spatial_scale
-    bin_w = jnp.maximum(x2 - x1, 1.0) / r
-    bin_h = jnp.maximum(y2 - y1, 1.0) / r
-    ph = lax.broadcasted_iota(jnp.float32, (r, 1), 0)[:, 0]
-    frac = (lax.broadcasted_iota(jnp.float32, (s, 1), 0)[:, 0] + 0.5) / s
-    ys = y1[:, None, None] + (ph[None, :, None] + frac[None, None, :]) * bin_h[:, None, None]
-    xs = x1[:, None, None] + (ph[None, :, None] + frac[None, None, :]) * bin_w[:, None, None]
-    Ry = jnp.sum(_hat_weights(ys, H), axis=2) / s       # (R, r, H)
-    Rx = jnp.sum(_hat_weights(xs, W), axis=2) / s       # (R, r, W)
-
-    n_chunks = -(-R // block_r)
-    Rp = n_chunks * block_r
-    n_wt = -(-W // block_w)
-    Wp = n_wt * block_w
-    Ry = jnp.pad(Ry, ((0, Rp - R), (0, 0), (0, 0))).astype(feat.dtype)
-    # zero-weight padding: padded W columns contribute nothing; transposed
-    # to (R, W, r) for the TPU block-tiling rule (see kernel)
-    Rx = jnp.pad(Rx, ((0, Rp - R), (0, 0), (0, Wp - W))).astype(feat.dtype)
-    Rx = Rx.transpose(0, 2, 1)
-    f2d = jnp.pad(feat, ((0, 0), (0, Wp - W), (0, 0))).reshape(H, Wp * C)
-
-    out = pl.pallas_call(
-        partial(_roi_align_kernel, r=r, wt=block_w, C=C),
-        grid=(n_chunks, n_wt),
-        in_specs=[
-            pl.BlockSpec((block_r, r, H), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_r, block_w, r), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, block_w * C), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (block_r, r, r, C), lambda i, j: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, r, r, C), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(Ry, Rx, f2d)
-    return out[:R].astype(feat.dtype)

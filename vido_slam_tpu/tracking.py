@@ -126,24 +126,28 @@ class StepOutputs(NamedTuple):
     obj_num_inliers: jnp.ndarray    # (K,)
     obj_centroid: jnp.ndarray       # (K, 3)
     obj_speed: jnp.ndarray          # (K,)
-    # per-point motion labels (by semantic value; host maps to track ids)
-    point_labels: jnp.ndarray       # (N_obj,)
-    # renewed features + new-slot markers (also inside the new state)
+    # per-point motion labels (by semantic value; host maps to track ids).
+    # int16 on the wire — the tunnel transport is bandwidth-bound, and
+    # semantic values/slot ids fit comfortably (see utils/packing.py).
+    point_labels: jnp.ndarray       # (N_obj,) int16
+    # renewed features + new-slot markers (also inside the new state).
+    # NOTE: the world-frame unprojections (stat_3d/obj_3d of FrameRecord)
+    # are NOT fetched — they are pure functions of (uv, depth, Tcw) and the
+    # host recomputes them in _record_outputs, saving ~84 KB/frame of
+    # transport.
     stat_uv: jnp.ndarray
     stat_depth: jnp.ndarray
     stat_valid: jnp.ndarray
     stat_is_new: jnp.ndarray
-    stat_3d: jnp.ndarray
     obj_uv: jnp.ndarray
     obj_depth: jnp.ndarray
     obj_valid: jnp.ndarray
     obj_is_new: jnp.ndarray
-    obj_sem: jnp.ndarray
-    obj_3d: jnp.ndarray
+    obj_sem: jnp.ndarray            # int16 on the wire
     # fused window-BA results (fused_ba mode; zeros otherwise)
     ba_Twc: jnp.ndarray        # (W, 4, 4) refined window poses
     ba_points: jnp.ndarray     # (P_sel, 3) refined world points
-    ba_slots: jnp.ndarray      # (P_sel,) slot of each refined point
+    ba_slots: jnp.ndarray      # (P_sel,) int16 slot of each refined point
     ba_point_ok: jnp.ndarray   # (P_sel,)
     ba_nframes: jnp.ndarray    # scalar: real (non-pad) frames in the window
 
@@ -334,9 +338,6 @@ def _track_step(
     )
     point_labels = jnp.where(obj_new, fresh_labels, point_labels)
 
-    stat_3d = unproject_to_world(cam, renewed_stat.uv, renewed_stat.depth, Tcw)
-    obj_3d = unproject_to_world(cam, renewed_obj.uv, renewed_obj.depth, Tcw)
-
     # -- 7. fused window BA (PartialBatchOptimization inside the step) ----
     # The host path (Tracker._run_window_ba) assembles tracks from recorded
     # frames and pays a put + a get RPC per frame; here the window lives in
@@ -438,21 +439,19 @@ def _track_step(
         obj_num_inliers=n_inl,
         obj_centroid=cent,
         obj_speed=speed,
-        point_labels=point_labels,
+        point_labels=point_labels.astype(jnp.int16),
         stat_uv=renewed_stat.uv,
         stat_depth=renewed_stat.depth,
         stat_valid=renewed_stat.valid,
         stat_is_new=stat_new,
-        stat_3d=stat_3d,
         obj_uv=renewed_obj.uv,
         obj_depth=renewed_obj.depth,
         obj_valid=renewed_obj.valid,
         obj_is_new=obj_new,
-        obj_sem=renewed_obj.sem,
-        obj_3d=obj_3d,
+        obj_sem=renewed_obj.sem.astype(jnp.int16),
         ba_Twc=out_ba[0],
         ba_points=out_ba[1],
-        ba_slots=out_ba[2],
+        ba_slots=out_ba[2].astype(jnp.int16),
         ba_point_ok=out_ba[3],
         ba_nframes=out_ba[4],
     )
@@ -1040,22 +1039,37 @@ class Tracker:
                 status=status,
             ))
 
+        # world-frame unprojections recomputed here instead of fetched
+        # (pure functions of uv/depth/Tcw; saves ~84 KB of transport/frame)
+        Tcw_np = np.asarray(h.Tcw, np.float32)
+        stat_3d = self._unproject_np(h.stat_uv, h.stat_depth, Tcw_np)
+        obj_3d = self._unproject_np(h.obj_uv, h.obj_depth, Tcw_np)
         self.map.add_frame(FrameRecord(
             frame_id=self.frame_id,
             timestamp=float(timestamp),
-            Tcw=np.asarray(h.Tcw),
+            Tcw=Tcw_np,
             Tcw_gt=None if Tcw_gt is None else np.asarray(Tcw_gt),
             stat_uv=h.stat_uv, stat_depth=h.stat_depth,
             stat_valid=h.stat_valid, stat_is_new=h.stat_is_new,
-            stat_3d=np.array(h.stat_3d),
+            stat_3d=stat_3d,
             obj_uv=h.obj_uv, obj_depth=h.obj_depth, obj_valid=h.obj_valid,
-            obj_is_new=h.obj_is_new, obj_sem=h.obj_sem,
-            obj_label=labels.astype(np.int32), obj_3d=np.array(h.obj_3d),
+            obj_is_new=h.obj_is_new, obj_sem=np.asarray(h.obj_sem, np.int32),
+            obj_label=labels.astype(np.int32), obj_3d=obj_3d,
             objects=obs_list,
             timing={"track_step": step_time},
             cam_motion=np.asarray(h.cam_motion),
         ))
         self.frame_id += 1
+
+    def _unproject_np(self, uv, depth, Tcw):
+        """Host-side unproject_to_world counterpart (f32 numpy)."""
+        cam = self.cam
+        x = (uv[:, 0] - float(cam.cx)) * depth / float(cam.fx)
+        y = (uv[:, 1] - float(cam.cy)) * depth / float(cam.fy)
+        xc = np.stack([x, y, depth], axis=-1).astype(np.float32)
+        Twc = np.linalg.inv(Tcw)
+        return (xc @ Twc[:3, :3].T.astype(np.float32)
+                + Twc[:3, 3].astype(np.float32)).astype(np.float32)
 
     # ------------------------------------------------------------------
     def run_full_batch(self, max_frames: int = 64, max_static: int = 2000,
