@@ -38,7 +38,6 @@ from jax import lax
 from vido_slam_tpu.estimation.lm import huber_weight
 from vido_slam_tpu.estimation.window_ba import (
     DELTA_HUBER,
-    GAUGE_WEIGHT,
     SIGMA2_3D_DYN,
     SIGMA2_3D_STA,
     SIGMA2_CAM,
@@ -204,20 +203,28 @@ def solve_full_ba(
         xh=jnp.zeros((F, K, 6)),
     )
 
-    # gauge: first valid frame's pose fixed (plus pads)
+    # gauge: first valid frame's pose fixed (plus pads). Pinning is EXACT
+    # (projection onto the free subspace, g2o setFixed semantics): a large
+    # soft diagonal (the earlier design) gives the CG operator a ~1e10
+    # eigenvalue cluster whose f32 rounding leaks ~1e3x noise into the
+    # Krylov basis — the same conditioning failure measured in the window
+    # BA's dense Cholesky. `free` is 1.0 on optimizable coordinates.
     first_real = jnp.argmax(prob.frame_valid)
     gauge_pose = (~prob.frame_valid) | (jnp.arange(F) == first_real)
-    # invalid motions/points also pinned so CG stays definite
-    pin = Params(
-        xi=jnp.where(gauge_pose[:, None], GAUGE_WEIGHT, 0.0) * jnp.ones((F, 6)),
-        xs=jnp.where(prob.spoint_valid[:, None], 0.0, GAUGE_WEIGHT)
-        * jnp.ones((Ps, 3)),
-        xd=jnp.where(
-            (prob.dobs_valid | prob.tern_valid)[:, :, None], 0.0, GAUGE_WEIGHT
-        ) * jnp.ones((F, Nd, 3)),
-        xh=jnp.where(prob.motion_valid[:, :, None], 0.0, GAUGE_WEIGHT)
-        * jnp.ones((F, K, 6)),
+    free = Params(
+        xi=jnp.broadcast_to((~gauge_pose)[:, None].astype(jnp.float32),
+                            (F, 6)),
+        xs=jnp.broadcast_to(prob.spoint_valid[:, None].astype(jnp.float32),
+                            (Ps, 3)),
+        xd=jnp.broadcast_to(
+            (prob.dobs_valid | prob.tern_valid)[:, :, None].astype(jnp.float32),
+            (F, Nd, 3)),
+        xh=jnp.broadcast_to(prob.motion_valid[:, :, None].astype(jnp.float32),
+                            (F, K, 6)),
     )
+
+    def project_free(v: Params) -> Params:
+        return jax.tree.map(lambda a, m: a * m, v, free)
 
     def res_fn(p: Params):
         return _flatten_res(_residuals(p, prob, altitude))
@@ -233,17 +240,20 @@ def solve_full_ba(
         wr = tuple(r * w[..., None] for r, w in zip(r_list, w_rob))
         (g,) = vjp(wr)
 
-        # Jacobi preconditioner approximated by damped identity + pins
+        # H restricted to the free subspace: P H P v + (I - P) v keeps the
+        # operator SPD and the pinned coordinates exactly at zero
         def Hv(v: Params) -> Params:
-            _, Jv = jax.jvp(res_fn, (p,), (v,))
+            vf = project_free(v)
+            _, Jv = jax.jvp(res_fn, (p,), (vf,))
             wJv = tuple(jv * w[..., None] for jv, w in zip(Jv, w_rob))
             (JtWJv,) = vjp(wJv)
             return jax.tree.map(
-                lambda h, vv, pn: h + (lam + pn) * vv, JtWJv, v, pin
+                lambda h, vv, m: m * (h + lam * vv) + (1.0 - m) * vv,
+                JtWJv, v, free,
             )
 
-        # PCG solve Hv(d) = -g
-        b = _scale(-1.0, g)
+        # PCG solve Hv(d) = -g on the free subspace
+        b = project_free(_scale(-1.0, g))
 
         def cg_body(i, st):
             d, r, z, rz = st

@@ -52,7 +52,6 @@ SIGMA2_OBJ_SMO = 0.1
 SIGMA2_OBJ = 20.0
 SIGMA2_3D_DYN = 16.0
 DELTA_HUBER = 0.01
-GAUGE_WEIGHT = 1e10
 
 
 class WindowBAResult(NamedTuple):
