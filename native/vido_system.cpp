@@ -175,6 +175,78 @@ int vido_system_init_ex(void* sys, const char* settings_file, int sensor,
   return 0;
 }
 
+// VIO overload (System.h:98-100): imu = n_imu rows of
+// (ax, ay, az, wx, wy, wz, t) float64. Other arguments as vido_system_track.
+int vido_system_track_imu(void* sys, const float* gray, const float* depth,
+                          const float* flow, const int* mask,
+                          const float* tcw_gt, double timestamp,
+                          const double* imu, int n_imu,
+                          int H, int W, float* pose_out) {
+  auto* impl = static_cast<SystemImpl*>(sys);
+  Gil gil;
+  const Py_ssize_t n = static_cast<Py_ssize_t>(H) * W;
+  PyObject* a_depth = np_view(impl->np, depth, n * 4, "float32", H, W, 1);
+  PyObject* a_flow = np_view(impl->np, flow, n * 8, "float32", H, W, 2);
+  PyObject* a_mask = np_view(impl->np, mask, n * 4, "int32", H, W, 1);
+  PyObject* a_gray = gray
+      ? np_view(impl->np, gray, n * 4, "float32", H, W, 1) : Py_NewRef(Py_None);
+  PyObject* a_gt = tcw_gt
+      ? np_view(impl->np, tcw_gt, 64, "float32", 4, 4, 1) : Py_NewRef(Py_None);
+  PyObject* a_imu = (imu && n_imu > 0)
+      ? np_view(impl->np, imu, static_cast<Py_ssize_t>(n_imu) * 7 * 8,
+                "float64", n_imu, 7, 1)
+      : Py_NewRef(Py_None);
+  PyObject* r = nullptr;
+  if (a_depth && a_flow && a_mask && a_gray && a_gt && a_imu) {
+    r = PyObject_CallMethod(impl->self, "TrackRGBDWithIMUArray", "OOOOOdO",
+                            a_gray, a_depth, a_flow, a_mask, a_gt,
+                            timestamp, a_imu);
+  }
+  Py_XDECREF(a_depth); Py_XDECREF(a_flow); Py_XDECREF(a_mask);
+  Py_XDECREF(a_gray); Py_XDECREF(a_gt); Py_XDECREF(a_imu);
+  if (!r) { PyErr_Print(); return -1; }
+  PyObject* flat = PyObject_CallMethod(impl->np, "ascontiguousarray", "Os",
+                                       r, "float32");
+  Py_DECREF(r);
+  if (!flat) { PyErr_Print(); return -1; }
+  PyObject* bytes = PyObject_CallMethod(flat, "tobytes", nullptr);
+  Py_DECREF(flat);
+  if (!bytes) { PyErr_Print(); return -1; }
+  char* buf = nullptr;
+  Py_ssize_t len = 0;
+  PyBytes_AsStringAndSize(bytes, &buf, &len);
+  if (len >= 64) std::memcpy(pose_out, buf, 64);
+  Py_DECREF(bytes);
+  return len >= 64 ? 0 : -1;
+}
+
+// Per-frame scene objects (OutPut.h:35-72): fills up to max_n rows of
+// 10 doubles [tracking_id, label_index, pos_xyz, vel_xyz, yaw, speed_kmh]
+// for frame_index (-1 = latest). Returns the object count, or -1 on error.
+int vido_system_get_objects(void* sys, int frame_index, double* out,
+                            int max_n) {
+  auto* impl = static_cast<SystemImpl*>(sys);
+  Gil gil;
+  PyObject* r = PyObject_CallMethod(impl->self, "GetFrameOutputArray", "i",
+                                    frame_index);
+  if (!r) { PyErr_Print(); return -1; }
+  PyObject* flat = PyObject_CallMethod(impl->np, "ascontiguousarray", "Os",
+                                       r, "float64");
+  Py_DECREF(r);
+  if (!flat) { PyErr_Print(); return -1; }
+  PyObject* bytes = PyObject_CallMethod(flat, "tobytes", nullptr);
+  Py_DECREF(flat);
+  if (!bytes) { PyErr_Print(); return -1; }
+  char* buf = nullptr;
+  Py_ssize_t len = 0;
+  PyBytes_AsStringAndSize(bytes, &buf, &len);
+  const int n_rows = static_cast<int>(len / (10 * 8));
+  const int n_copy = n_rows < max_n ? n_rows : max_n;
+  if (out && n_copy > 0) std::memcpy(out, buf, n_copy * 10 * 8);
+  Py_DECREF(bytes);
+  return n_rows;
+}
+
 int vido_system_save(void* sys, const char* path) {
   auto* impl = static_cast<SystemImpl*>(sys);
   Gil gil;

@@ -14,6 +14,17 @@ int vido_system_track(void* sys, const float* gray, const float* depth,
                       const float* flow, const int* mask,
                       const float* tcw_gt, double timestamp,
                       int H, int W, float* pose_out);
+// VIO overload (System.h:98-100): imu = n_imu rows (ax,ay,az,wx,wy,wz,t) f64
+int vido_system_track_imu(void* sys, const float* gray, const float* depth,
+                          const float* flow, const int* mask,
+                          const float* tcw_gt, double timestamp,
+                          const double* imu, int n_imu,
+                          int H, int W, float* pose_out);
+// Per-frame scene objects (OutPut.h:35-72): rows of 10 doubles
+// [tracking_id, label_index, pos_xyz, vel_xyz, yaw, speed_kmh];
+// returns the total object count (may exceed max_n), -1 on error.
+int vido_system_get_objects(void* sys, int frame_index, double* out,
+                            int max_n);
 int vido_system_save(void* sys, const char* path);
 void vido_system_destroy(void* sys);
 }
@@ -43,6 +54,23 @@ class System {
     if (vido_system_track(impl_, gray, depth_raw, flow, mask_sem, tcw_gt,
                           timestamp, height, width, pose_out) != 0)
       throw std::runtime_error("System::TrackRGBD failed");
+  }
+
+  // VIO overload: imu = n_imu rows of (ax, ay, az, wx, wy, wz, t).
+  void TrackRGBD(const float* gray, const float* depth_raw, const float* flow,
+                 const int* mask_sem, const float* tcw_gt, double timestamp,
+                 const double* imu, int n_imu,
+                 int height, int width, float* pose_out) {
+    if (vido_system_track_imu(impl_, gray, depth_raw, flow, mask_sem, tcw_gt,
+                              timestamp, imu, n_imu, height, width,
+                              pose_out) != 0)
+      throw std::runtime_error("System::TrackRGBD (VIO) failed");
+  }
+
+  // Latest frame's scene objects; returns the object count (rows of 10
+  // doubles: tracking_id, label_index, pos xyz, vel xyz, yaw, speed_kmh).
+  int GetObjects(double* out, int max_n, int frame_index = -1) {
+    return vido_system_get_objects(impl_, frame_index, out, max_n);
   }
 
   void SaveResultsIJRR2020(const std::string& path) {

@@ -49,6 +49,15 @@ def lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
     ]
     L.vido_system_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    L.vido_system_track_imu.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+    ]
+    L.vido_system_get_objects.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+    ]
     L.vido_system_destroy.argtypes = [ctypes.c_void_p]
     return L
 
@@ -100,10 +109,68 @@ class TestNativeSystem:
             np.testing.assert_allclose(pose.reshape(4, 4),
                                        np.asarray(p_py), atol=1e-5)
 
+        # scene-object query (OutPut.h counterpart): same rows as the
+        # Python facade's GetFrameOutputArray
+        objs = np.zeros((16, 10), np.float64)
+        n_obj = lib.vido_system_get_objects(
+            sys_c, -1, objs.ctypes.data_as(ctypes.c_void_p), 16)
+        assert n_obj >= 0
+        py_rows = sys_py.GetFrameOutputArray(-1)
+        assert n_obj == py_rows.shape[0]
+        if n_obj:
+            np.testing.assert_allclose(objs[:n_obj], py_rows, atol=1e-6)
+
         out = str(tmp_path / "results")
         assert lib.vido_system_save(sys_c, out.encode()) == 0
         assert os.path.isdir(out) or any(
             f.startswith(os.path.basename(out)) for f in os.listdir(tmp_path))
+        lib.vido_system_destroy(sys_c)
+
+    def test_vio_overload_accepts_imu(self, lib, tmp_path):
+        """The VIO C entry point must run end-to-end (IMU rows marshaled
+        into ImuPoint measurements; RGBD sensor ignores them gracefully is
+        NOT tested here — we init IMU_RGBD and check poses come back)."""
+        import jax.numpy as jnp
+
+        from vido_slam_tpu.geometry.se3 import make_se3
+        from vido_slam_tpu.geometry.so3 import exp_so3
+        from vido_slam_tpu.io.synthetic import SyntheticSequence, simple_scene
+
+        scene = simple_scene(width=256, height=160)
+        dT = np.asarray(make_se3(exp_so3(jnp.zeros(3)),
+                                 jnp.array([0.0, 0.0, -0.4])))
+        seq = SyntheticSequence(scene, [dT], n_frames=3)
+        cfg = write_cfg(tmp_path, scene)
+        kwargs = b'{"n_bg": 600, "n_obj": 1500, "max_objects": 4}'
+        sys_c = lib.vido_system_create()
+        assert sys_c
+        assert lib.vido_system_init_ex(sys_c, cfg.encode(), 3, kwargs) == 0
+
+        pose = np.zeros(16, np.float32)
+        H, W = scene.cam.height, scene.cam.width
+        for i, fr in enumerate(seq.frames):
+            raw_depth = np.ascontiguousarray(fr.depth * 100.0, np.float32)
+            flow = np.ascontiguousarray(fr.flow, np.float32)
+            mask = np.ascontiguousarray(fr.mask, np.int32)
+            t = float(i) / 10.0
+            # 10 synthetic IMU samples in the inter-frame interval
+            ts = t - 0.1 + (np.arange(10) + 1) * 0.01
+            imu = np.zeros((10, 7), np.float64)
+            imu[:, 1] = -9.79   # gravity along -y in body frame
+            imu[:, 6] = ts
+            rc = lib.vido_system_track_imu(
+                sys_c, None,
+                raw_depth.ctypes.data_as(ctypes.c_void_p),
+                flow.ctypes.data_as(ctypes.c_void_p),
+                mask.ctypes.data_as(ctypes.c_void_p),
+                None, t,
+                imu.ctypes.data_as(ctypes.c_void_p), 10,
+                H, W, pose.ctypes.data_as(ctypes.c_void_p),
+            )
+            assert rc == 0
+        P = pose.reshape(4, 4)
+        assert np.isfinite(P).all()
+        assert abs(np.linalg.det(P[:3, :3]) - 1.0) < 1e-3
         lib.vido_system_destroy(sys_c)
 
 pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -70,6 +70,7 @@ def deconv_grouped(
     wf = w[::-1, ::-1]
     pad = k - 1 - padding
     C = x.shape[-1]
+    x = x.astype(wf.dtype) if x.dtype != wf.dtype else x  # dtype-follow
     return lax.conv_general_dilated(
         x,
         wf,

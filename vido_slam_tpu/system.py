@@ -196,6 +196,38 @@ class System:
         )
 
     # ------------------------------------------------------------------
+    # Flat-array marshaling shims for the native C ABI (native/vido_system
+    # .cpp): plain float64 buffers cross the boundary instead of Python
+    # objects.
+    def TrackRGBDWithIMUArray(
+        self, im, depth_raw, flow, masksem, mTcw_gt, timestamp,
+        imu_rows=None, nImage=None,
+    ) -> np.ndarray:
+        """TrackRGBD VIO overload (System.h:98-100) taking IMU samples as an
+        (N, 7) float64 array of rows (ax, ay, az, wx, wy, wz, t)."""
+        meas = None
+        if imu_rows is not None and len(imu_rows):
+            arr = np.asarray(imu_rows, np.float64).reshape(-1, 7)
+            meas = [ImuPoint(a=row[0:3].astype(np.float32),
+                             w=row[3:6].astype(np.float32),
+                             t=float(row[6])) for row in arr]
+        return self.TrackRGBD(im, depth_raw, flow, masksem, mTcw_gt,
+                              None, timestamp, imu_measurements=meas,
+                              nImage=nImage)
+
+    def GetFrameOutputArray(self, frame_index: int = -1) -> np.ndarray:
+        """Per-frame scene objects as (N, 10) float64 rows:
+        [tracking_id, label_index, pos_xyz, vel_xyz, yaw, speed_kmh]."""
+        out = self.GetFrameOutput(frame_index)
+        rows = [
+            [float(o.tracking_id), float(o.label_index),
+             *np.asarray(o.pose, np.float64),
+             *np.asarray(o.velocity, np.float64),
+             float(o.yaw), float(o.speed_kmh)]
+            for o in out.objects
+        ]
+        return np.asarray(rows, np.float64).reshape(-1, 10)
+
     def SaveResultsIJRR2020(self, filename: str) -> None:
         self.tracker.finish()
         save_results_ijrr2020(self.tracker.map, filename)
