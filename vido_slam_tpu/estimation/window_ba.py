@@ -210,14 +210,16 @@ def solve_window_ba(
     gauge_frames = ~frame_valid | (jnp.arange(W) == first_real)
     free_d = jnp.repeat((~gauge_frames).astype(jnp.float32), 6)  # (D,)
 
-    def normal_system(Twc, X, lam):
+    def linearize(Twc, X):
         # Structure-exploiting normal equations (see module docstring):
         # Jc = [-I | hat(Xc)], Jp = Rcw  =>  Hpp = (sum_w w) I is DIAGONAL,
         # and with E = Jc^T Rcw (6,3 per edge) both the Schur term
         # sum_p B Hpp^-1 B^T and the pose diagonal sum_p w Jc^T Jc reduce to
         # (W*6, P*3)-shaped MXU matmuls (E E^T == Jc^T Jc since R R^T = I).
-        # The naive per-block einsum/transpose chain here was profiled at
-        # ~0.66 ms/iteration — the single largest tracking-step item.
+        # Everything here is lambda-INDEPENDENT and cached across while-loop
+        # iterations; `assemble` below applies the damping (lm.py pattern:
+        # one linearisation per iteration — it doubles as the trial-point
+        # cost evaluation, so the separate _cost_only pass is gone).
         Tcw = inverse_se3(Twc)
         Rcw = Tcw[:, :3, :3]                                    # (W, 3, 3)
         Xc = jnp.einsum("wij,pj->wpi", Rcw, X, precision=_HI) + Tcw[:, None, :3, 3]
@@ -239,18 +241,13 @@ def solve_window_ba(
         # bot[w,p,i,j] = (Rcw_col_j x Xc)_i = -(hat(Xc) Rcw)[i,j]
         E = jnp.concatenate([top, bot], axis=2)                  # (W, P, 6, 3)
 
-        s_p = jnp.sum(w_pt, axis=0) + lam                        # Hpp diag scale
-        s_p = jnp.maximum(s_p, 1e-20)
-        sq_w = jnp.sqrt(w_pt)
-        v = w_pt / jnp.sqrt(s_p)[None, :]
-
         Ef = E.transpose(0, 2, 1, 3)                             # (W, 6, P, 3)
+        sq_w = jnp.sqrt(w_pt)
         G1 = (Ef * sq_w[:, None, :, None]).reshape(W, 6, P * 3)
-        Gv = (Ef * v[:, None, :, None]).reshape(D, P * 3)
+        # Gw = w-weighted E rows; per-lambda row scalings derive from it
+        Gw = (Ef * w_pt[:, None, :, None]).reshape(D, P * 3)
         # pose-diagonal blocks sum_p w Jc^T Jc = sum_p w E E^T
         JtJ_c = jnp.einsum("wik,wjk->wij", G1, G1, precision=_HI)  # (W, 6, 6)
-        # Schur subtraction term sum_p (w1 w2 / s) E1 E2^T, ALL pose pairs
-        Schur = Gv @ Gv.T                                        # (D, D)
 
         # --- odometry edges ---
         def od_edge(Tp, Tc, M):
@@ -279,8 +276,7 @@ def solve_window_ba(
         Hcc = Hcc.at[e0, e0 + 1].add(Hab)
         Hcc = Hcc.at[e0 + 1, e0].add(jnp.swapaxes(Hab, -1, -2))
         Hcc = Hcc.at[e0 + 1, e0 + 1].add(Hbb)
-        Hcc_f = Hcc.transpose(0, 2, 1, 3).reshape(D, D)
-        Hcc_f = Hcc_f + lam * jnp.eye(D)
+        Hcc_base = Hcc.transpose(0, 2, 1, 3).reshape(D, D)       # no damping
 
         # ---- gradients ----
         wr = w_pt[..., None] * r_pt                              # (W, P, 3)
@@ -295,51 +291,67 @@ def solve_window_ba(
         )
         g_c = g_c.reshape(D)
         g_p = jnp.einsum("wij,wpi->pj", Rcw, wr, precision=_HI)  # (P, 3)
+        w_sum = jnp.sum(w_pt, axis=0)                            # (P,)
+        cache = (Gw, Hcc_base, g_c, g_p, w_sum)
+        return cache, cost
 
-        S = Hcc_f - Schur
-        # rhs = g_c - sum_p (w/s) E g_p
-        Gs = Gv * (1.0 / jnp.sqrt(s_p))[None].repeat(3, 1).reshape(1, -1)
+    def assemble(cache, lam):
+        """Apply the damping to the cached linearisation: Schur complement
+        and reduced system for this lambda (cheap: one (D, 3P) matmul)."""
+        Gw, Hcc_base, g_c, g_p, w_sum = cache
+        s_p = jnp.maximum(w_sum + lam, 1e-20)                    # Hpp diag
+        inv_s3 = (1.0 / s_p)[None].repeat(3, 1).reshape(1, -1)   # (1, 3P)
+        inv_sq3 = (1.0 / jnp.sqrt(s_p))[None].repeat(3, 1).reshape(1, -1)
+        Gv = Gw * inv_sq3
+        Schur = Gv @ Gv.T                                        # (D, D)
+        S = Hcc_base + lam * jnp.eye(D) - Schur
+        Gs = Gw * inv_s3
         rhs = g_c - Gs @ g_p.reshape(P * 3)
         # exact gauge pinning: eliminate the fixed pose variables
         S = S * (free_d[:, None] * free_d[None, :]) + jnp.diag(1.0 - free_d)
         rhs = rhs * free_d
-        return S, rhs, s_p, Gs, g_p, cost
+        return S, rhs, s_p, Gs
 
     def body(state):
-        it, Twc, X, lam, nu, cost, done = state
-        S, rhs, s_p, Gs, g_p, _ = normal_system(Twc, X, lam)
+        it, Twc, X, lam, nu, cost, done, cache = state
+        S, rhs, s_p, Gs = assemble(cache, lam)
         L = jnp.linalg.cholesky(S)
         y = jax.scipy.linalg.solve_triangular(L, -rhs, lower=True)
         dc = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
         bad = jnp.any(jnp.isnan(dc))
         dc = jnp.where(bad, jnp.zeros_like(dc), dc)
         # dp = Hpp^-1 (-g_p - B^T dc); B^T dc = sqrt(s) * Gs^T dc
+        g_p = cache[3]
         Bt_dc = (Gs.T @ dc).reshape(P, 3) * jnp.sqrt(s_p)[:, None]
         dp = -(g_p + Bt_dc) / s_p[:, None]
         dp = jnp.where(point_valid[:, None], dp, 0.0)
         Twc_new = compose(Twc, exp_se3(dc.reshape(W, 6)))
         X_new = X + dp
-        cost_new = _cost_only(Twc_new, X_new, obs, obs_valid, odom, odom_valid)
+        cache_new, cost_new = linearize(Twc_new, X_new)
         accept = (cost_new < cost) & ~bad
         lam_new = jnp.where(accept, lam * (1.0 / 3.0), lam * nu)
         nu_new = jnp.where(accept, 2.0, nu * 2.0)
         Twc_next = jnp.where(accept, Twc_new, Twc)
         X_next = jnp.where(accept, X_new, X)
         cost_next = jnp.where(accept, cost_new, cost)
+        cache_next = jax.tree.map(
+            lambda a, b: jnp.where(accept, b, a), cache, cache_new)
         rel_impr = (cost - cost_next) / jnp.maximum(cost, 1e-20)
         # SparseOptimizerTerminateAction gain threshold 1e-3
         # (Optimizer.cc:182-184): stop when the relative chi2 gain drops
         done_new = accept & (rel_impr < gain_tol)
-        return (it + 1, Twc_next, X_next, lam_new, nu_new, cost_next, done_new)
+        return (it + 1, Twc_next, X_next, lam_new, nu_new, cost_next,
+                done_new, cache_next)
 
     def cond(state):
-        it, _, _, _, _, _, done = state
+        it = state[0]
+        done = state[6]
         return (it < max_iters) & ~done
 
-    cost0 = _cost_only(Twc0, X0, obs, obs_valid, odom, odom_valid)
+    cache0, cost0 = linearize(Twc0, X0)
     init = (jnp.int32(0), Twc0, X0, jnp.float32(1e-4), jnp.float32(2.0),
-            cost0, jnp.bool_(False))
-    it, Twc, X, lam, nu, cost, done = lax.while_loop(cond, body, init)
+            cost0, jnp.bool_(False), cache0)
+    it, Twc, X, lam, nu, cost, done, _ = lax.while_loop(cond, body, init)
     return WindowBAResult(Twc=Twc, points=X, cost=cost, num_iters=it)
 
 
