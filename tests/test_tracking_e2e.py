@@ -207,4 +207,25 @@ class TestFusedBA:
         d = np.abs(t_pipe.map.poses - t_sync.map.poses).max()
         assert d < 1e-5, f"pipelined fused diverges: {d}"
 
+    def test_light_record_matches_full(self, sequence):
+        """record='light' changes only WHAT crosses the device->host
+        boundary, never the computation: trajectories and object ids must
+        be bit-identical to record='full'."""
+        scene, seq = sequence
+        cfg = make_config(scene)
+        # auto rule picks light here (fused + non-KITTI): make both explicit
+        t_full = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0,
+                         fused_ba=True, record="full")
+        t_lite = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0,
+                         fused_ba=True, record="light")
+        assert not t_full.record_light and t_lite.record_light
+        for fr in seq.frames:
+            t_full.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+            t_lite.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+        np.testing.assert_array_equal(t_lite.map.poses, t_full.map.poses)
+        assert t_lite.map.track_ids() == t_full.map.track_ids()
+        # light records carry no per-point history
+        assert t_lite.map.frames[-1].stat_uv.size == 0
+        assert t_full.map.frames[-1].stat_uv.size > 0
+
 pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -111,11 +111,17 @@ class TrackState(NamedTuple):
 
 
 class StepOutputs(NamedTuple):
-    """Everything the host needs per frame, fetched in one device_get."""
+    """Everything the host needs per frame, fetched in one device_get.
+
+    The tunneled transport serializes copy transmission with device compute
+    at ~28 MB/s (measured), so every fetched KB costs ~36 us of wall time
+    per frame. In `record="light"` mode (the default when the fused BA owns
+    the window state on device and no full-batch pass will need per-point
+    history) the per-point fields below are emitted as (0,)-shaped
+    placeholders — ~12 KB/frame crosses instead of ~120 KB."""
 
     Tcw: jnp.ndarray
     cam_motion: jnp.ndarray         # Twc_{t-1}^-1 Twc_t (BA odometry meas)
-    stat_inliers: jnp.ndarray
     # object stats for host id bookkeeping
     stats: ObjectStats
     # selected objects (fixed K slots)
@@ -183,6 +189,7 @@ def _track_step(
     ba_window: int = 20,
     ba_points: int = 1000,
     ba_iters: int = 10,
+    record_light: bool = False,
 ):
     k_cam, k_obj, k_fresh, k_next = jax.random.split(state.key, 4)
 
@@ -427,34 +434,65 @@ def _track_step(
         ba_nframes=nf,
         key=k_next,
     )
-    outputs = StepOutputs(
-        Tcw=Tcw,
-        cam_motion=cam_motion,
-        stat_inliers=est.inliers,
-        stats=stats,
-        obj_sem_values=sem_values,
-        obj_active=active,
-        obj_motion=H,
-        obj_ok=ok,
-        obj_num_inliers=n_inl,
-        obj_centroid=cent,
-        obj_speed=speed,
-        point_labels=point_labels.astype(jnp.int16),
-        stat_uv=renewed_stat.uv,
-        stat_depth=renewed_stat.depth,
-        stat_valid=renewed_stat.valid,
-        stat_is_new=stat_new,
-        obj_uv=renewed_obj.uv,
-        obj_depth=renewed_obj.depth,
-        obj_valid=renewed_obj.valid,
-        obj_is_new=obj_new,
-        obj_sem=renewed_obj.sem.astype(jnp.int16),
-        ba_Twc=out_ba[0],
-        ba_points=out_ba[1],
-        ba_slots=out_ba[2].astype(jnp.int16),
-        ba_point_ok=out_ba[3],
-        ba_nframes=out_ba[4],
-    )
+    if record_light:
+        # per-point history is not fetched: (0,)-shaped placeholders keep
+        # the output pytree structure (and the unpack spec) uniform
+        e = lambda *s, dtype=jnp.float32: jnp.zeros(s, dtype)
+        outputs = StepOutputs(
+            Tcw=Tcw,
+            cam_motion=cam_motion,
+            stats=stats,
+            obj_sem_values=sem_values,
+            obj_active=active,
+            obj_motion=H,
+            obj_ok=ok,
+            obj_num_inliers=n_inl,
+            obj_centroid=cent,
+            obj_speed=speed,
+            point_labels=e(0, dtype=jnp.int16),
+            stat_uv=e(0, 2),
+            stat_depth=e(0),
+            stat_valid=e(0, dtype=bool),
+            stat_is_new=e(0, dtype=bool),
+            obj_uv=e(0, 2),
+            obj_depth=e(0),
+            obj_valid=e(0, dtype=bool),
+            obj_is_new=e(0, dtype=bool),
+            obj_sem=e(0, dtype=jnp.int16),
+            ba_Twc=out_ba[0],
+            ba_points=e(0, 3),
+            ba_slots=e(0, dtype=jnp.int16),
+            ba_point_ok=e(0, dtype=bool),
+            ba_nframes=out_ba[4],
+        )
+    else:
+        outputs = StepOutputs(
+            Tcw=Tcw,
+            cam_motion=cam_motion,
+            stats=stats,
+            obj_sem_values=sem_values,
+            obj_active=active,
+            obj_motion=H,
+            obj_ok=ok,
+            obj_num_inliers=n_inl,
+            obj_centroid=cent,
+            obj_speed=speed,
+            point_labels=point_labels.astype(jnp.int16),
+            stat_uv=renewed_stat.uv,
+            stat_depth=renewed_stat.depth,
+            stat_valid=renewed_stat.valid,
+            stat_is_new=stat_new,
+            obj_uv=renewed_obj.uv,
+            obj_depth=renewed_obj.depth,
+            obj_valid=renewed_obj.valid,
+            obj_is_new=obj_new,
+            obj_sem=renewed_obj.sem.astype(jnp.int16),
+            ba_Twc=out_ba[0],
+            ba_points=out_ba[1],
+            ba_slots=out_ba[2].astype(jnp.int16),
+            ba_point_ok=out_ba[3],
+            ba_nframes=out_ba[4],
+        )
     return new_state, outputs
 
 
@@ -478,6 +516,7 @@ class Tracker:
         pipelined: bool = False,
         joint_flow: bool = False,
         fused_ba: bool = False,
+        record: str = "auto",
     ):
         self.cfg = config
         c = config.camera
@@ -542,6 +581,23 @@ class Tracker:
         # device program from ring buffers (no per-frame BA put/get RPCs);
         # VIO keeps the host path (scale handling mutates recorded frames)
         self.fused_ba = fused_ba and local_ba and not use_imu
+        # record mode: what per-frame data crosses the device->host boundary.
+        # "full" fetches per-point slots into FrameRecords (needed by the
+        # host-assembled BA paths, the KITTI full-batch pass, point viz and
+        # session snapshots). "light" fetches only poses/object stats
+        # (~12 KB vs ~120 KB — the tunneled transport serializes the copy
+        # with compute at ~28 MB/s, so this is ~4 ms of wall per frame).
+        # "auto": light exactly when the fused BA owns the window state on
+        # device AND no KITTI-style full-batch pass will need the history.
+        assert record in ("auto", "full", "light"), record
+        if record == "auto":
+            self.record_light = bool(self.fused_ba
+                                     and config.system.choose_data != 2)
+        else:
+            self.record_light = record == "light"
+        assert not (self.record_light and self.local_ba and not self.fused_ba), \
+            "record='light' requires the fused BA (the host-assembled window" \
+            " BA reads per-point FrameRecords)"
         self._build_step()
 
     def _build_step(self):
@@ -564,6 +620,7 @@ class Tracker:
             ba_window=s.window_size,
             ba_points=self.ba_max_points,
             ba_iters=self.ba_iters,
+            record_light=self.record_light,
         )
         self._raw_step = raw_step
 
@@ -1040,7 +1097,9 @@ class Tracker:
             ))
 
         # world-frame unprojections recomputed here instead of fetched
-        # (pure functions of uv/depth/Tcw; saves ~84 KB of transport/frame)
+        # (pure functions of uv/depth/Tcw; saves ~84 KB of transport/frame).
+        # In light record mode the per-point fields arrive (0,)-shaped and
+        # the record simply carries empty point arrays.
         Tcw_np = np.asarray(h.Tcw, np.float32)
         stat_3d = self._unproject_np(h.stat_uv, h.stat_depth, Tcw_np)
         obj_3d = self._unproject_np(h.obj_uv, h.obj_depth, Tcw_np)
@@ -1081,6 +1140,9 @@ class Tracker:
         from vido_slam_tpu.estimation.assembly import assemble_full_problem
         from vido_slam_tpu.estimation.full_ba import solve_full_ba
 
+        assert not self.record_light, (
+            "run_full_batch needs per-point FrameRecords; construct the "
+            "Tracker with record='full' (auto picks it for KITTI mode)")
         prob, stat, motion_ids = assemble_full_problem(
             self.map, self.cam, max_frames, max_static, self.max_objects
         )
@@ -1114,7 +1176,7 @@ class Tracker:
         for i, rec in enumerate(recs):
             rec.Tcw = np.linalg.inv(h.ba_Twc[W - nf + i]).astype(np.float32)
         ok = np.asarray(h.ba_point_ok)
-        if ok.any():
+        if ok.size and ok.any():
             p3d = np.array(recs[-1].stat_3d)
             p3d[np.asarray(h.ba_slots)[ok]] = np.asarray(h.ba_points)[ok]
             recs[-1].stat_3d = p3d
