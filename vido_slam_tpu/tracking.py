@@ -550,6 +550,10 @@ class Tracker:
         self.ba_deferred = False
         self._pending = None
         self._pending_ba = None
+        # fused perception+tracking program (attach_perception)
+        self._step_frames = None
+        self._attached = None
+        self._init_perceive = None
         # ---- VIO state (Tracking.cc:112-121, 784-1077) ----
         self.use_imu = use_imu
         self.imu_max_frames = imu_max_frames
@@ -921,9 +925,14 @@ class Tracker:
         self._ensure_out_spec(self.state, depth, flow, mask, gray)
         new_state, out_f, out_i = self._step(self.state, depth, flow, mask,
                                              gray)
-        out = (out_f, out_i)
         self.state = new_state
+        return self._post_step((out_f, out_i), float(timestamp), Tcw_gt,
+                               t_start)
 
+    def _post_step(self, out, timestamp, Tcw_gt, t_start):
+        """Everything after the per-frame device dispatch: pipelined copy
+        scheduling, output fetch/record, BA application, VIO hooks."""
+        out_f, out_i = out
         if self.pipelined:
             # ---- software pipeline: hide the fetch + BA round-trips ----
             # Enqueue the device->host copy of THIS frame's outputs NOW,
@@ -994,6 +1003,83 @@ class Tracker:
                 self._try_scale_refinement(float(timestamp))
             Tcw = jnp.asarray(self.map.frames[-1].Tcw)
         return np.asarray(Tcw)
+
+    # ------------------------------------------------------------------
+    # Fully-fused per-frame program: perception + depth conversion +
+    # tracking step as ONE dispatch. On the tunneled transport each program
+    # boundary costs scheduling latency (~1-2 ms), so the realtime pipeline
+    # (raw frames in, pose out) runs fastest as a single program per frame.
+    # ------------------------------------------------------------------
+    def attach_perception(self, model, depth_mode: str,
+                          depth_map_factor: float = None, bf: float = None,
+                          scale: float = 1.0):
+        """Bind a PerceptionModel into the per-frame program; enables
+        `track_frames`. `scale` is the fixed metric scale (VO mode; the
+        VIO scale path keeps the separate-program route)."""
+        from vido_slam_tpu.geometry.camera import convert_depth
+        from vido_slam_tpu.models.perception import perception_forward
+
+        dm_factor = (depth_map_factor if depth_map_factor is not None
+                     else self.cfg.system.depth_map_factor)
+        bf_ = bf if bf is not None else self.cfg.camera.bf
+        raw = self._raw_step
+        use_fast = self.use_fast
+        H, W = self.cam.height, self.cam.width
+
+        def fused(state, prev_bgr, cur_bgr):
+            out = perception_forward(
+                model.depth_params, model.flow_params, model.mask_params,
+                prev_bgr, cur_bgr, height=H, width=W,
+                mask_cfg=model.mask_cfg, use_pallas=model.use_pallas,
+            )
+            depth = convert_depth(out.depth_u16, depth_mode, dm_factor, bf_,
+                                  scale=scale)
+            if use_fast:
+                gray = (0.299 * cur_bgr[..., 2] + 0.587 * cur_bgr[..., 1]
+                        + 0.114 * cur_bgr[..., 0])
+            else:
+                gray = jnp.zeros((H, W), jnp.float32)
+            new_state, outs = raw(state, depth, out.flow,
+                                  out.mask.astype(jnp.int32), gray)
+            fbuf, ibuf = pack_pytree(outs)
+            return new_state, fbuf, ibuf
+
+        self._attached = (model, depth_mode, dm_factor, bf_, scale)
+        self._step_frames = jax.jit(fused)
+
+    def track_frames(self, prev_bgr, cur_bgr, Tcw_gt=None, timestamp=None):
+        """Process one frame from RAW BGR images (prev, cur) through the
+        fused perception+tracking program; returns the camera pose Tcw."""
+        assert self._step_frames is not None, "call attach_perception first"
+        prev = jnp.asarray(prev_bgr, jnp.float32)
+        cur = jnp.asarray(cur_bgr, jnp.float32)
+        if self.state is None:
+            # first frame: run perception standalone to seed the state
+            model, mode, f, bf_, scale = self._attached
+            if self._init_perceive is None:
+                self._init_perceive = model.make_slam_forward(
+                    mode, f, bf_, scale)
+            depth, flow, mask = self._init_perceive(prev, cur)
+            self.initialize(depth, flow, mask, Tcw_gt,
+                            timestamp if timestamp is not None else 0.0)
+            return np.eye(4, dtype=np.float32)
+        if timestamp is None:
+            timestamp = self.frame_id / self.cam.fps
+        t_start = time.perf_counter()
+        self._last_ts = float(timestamp)
+        if self._out_spec is None:
+            H, W = self.cam.height, self.cam.width
+            self._ensure_out_spec(
+                self.state,
+                jax.ShapeDtypeStruct((H, W), jnp.float32),
+                jax.ShapeDtypeStruct((H, W, 2), jnp.float32),
+                jax.ShapeDtypeStruct((H, W), jnp.int32),
+                jax.ShapeDtypeStruct((H, W), jnp.float32),
+            )
+        new_state, out_f, out_i = self._step_frames(self.state, prev, cur)
+        self.state = new_state
+        return self._post_step((out_f, out_i), float(timestamp), Tcw_gt,
+                               t_start)
 
     # ------------------------------------------------------------------
     def finish(self):
