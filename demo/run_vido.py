@@ -66,6 +66,7 @@ def main():
 
     perception = None
     prev_bgr = None
+    fused_online = False
     if args.online:
         from vido_slam_tpu.models.maskrcnn.model import MaskRCNNConfig
         from vido_slam_tpu.models.perception import PerceptionModel
@@ -74,6 +75,12 @@ def main():
             cfg.camera.height, cfg.camera.width,
             MaskRCNNConfig(input_h=544, input_w=800),
         )
+        # VO mode: perception + tracking run as ONE device program per
+        # frame (System.AttachPerception); VIO keeps the separate route
+        # (the metric scale changes after IMU initialization)
+        fused_online = not vio
+        if fused_online:
+            system.AttachPerception(perception)
 
     import cv2
 
@@ -92,6 +99,18 @@ def main():
                 continue
             bgr = demosaic_bayer_bg2bgr(raw)
 
+        if fused_online:
+            if prev_bgr is None:
+                prev_bgr = bgr
+            Tcw = system.TrackFrames(prev_bgr.astype(np.float32),
+                                     bgr.astype(np.float32),
+                                     timestamp=fr.timestamp)
+            prev_bgr = bgr
+            last_t = fr.timestamp
+            if i % 10 == 0:
+                print(f"frame {i}/{len(frames)} t={fr.timestamp:.2f} "
+                      f"pos={np.linalg.inv(Tcw)[:3, 3]}")
+            continue
         if perception is not None:
             if prev_bgr is None:
                 prev_bgr = bgr

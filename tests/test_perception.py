@@ -84,3 +84,27 @@ class TestTrackFrames:
             np.testing.assert_allclose(np.asarray(p_fus), np.asarray(p_sep),
                                        atol=5e-3)
         assert len(t_fus.map) == len(t_sep.map)
+
+    def test_system_facade_fused_path(self, model, frames):
+        """System.AttachPerception / TrackFrames (the realtime VO surface)
+        runs end-to-end and records frames."""
+        from vido_slam_tpu.system import Sensor, System
+
+        cfg = config_from_dict({
+            "Camera.width": W, "Camera.height": H,
+            "Camera.fx": 80.0, "Camera.fy": 80.0,
+            "Camera.cx": W / 2, "Camera.cy": H / 2, "Camera.bf": 32.0,
+            "ChooseData": 3, "DepthMapFactor": 500, "WINDOW_SIZE": 4,
+        })
+        sys_ = System()
+        sys_.init_from_config(cfg, Sensor.RGBD, n_bg=200, n_obj=400,
+                              max_objects=2, seed=0, local_ba=True,
+                              fused_ba=True, ba_max_points=100, ba_iters=3)
+        sys_.AttachPerception(model)
+        for i in range(3):
+            P = sys_.TrackFrames(frames[i], frames[i + 1],
+                                 timestamp=i / 10.0)
+            assert np.isfinite(np.asarray(P)).all()
+        assert len(sys_.map) == 3
+        out = sys_.GetFrameOutput(-1)
+        assert np.isfinite(out.camera_position).all()

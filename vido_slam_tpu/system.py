@@ -196,6 +196,25 @@ class System:
         )
 
     # ------------------------------------------------------------------
+    # Fully-fused realtime path: perception + tracking as ONE device
+    # program per frame (the TPU-native answer to the reference's 3 ROS
+    # service calls + TrackRGBD, run_vido.cc:131-171). VO mode only — the
+    # VIO scale handling keeps the separate-inputs route.
+    def AttachPerception(self, perception_model) -> None:
+        assert self._initialized, "call Init first"
+        cfg = self.config
+        self.tracker.attach_perception(
+            perception_model, cfg.system.dataset,
+            cfg.system.depth_map_factor, cfg.camera.bf, scale=self.scale,
+        )
+
+    def TrackFrames(self, prev_bgr, cur_bgr, mTcw_gt=None,
+                    timestamp=None) -> np.ndarray:
+        """One fused program from raw BGR frames to the camera pose."""
+        return self.tracker.track_frames(prev_bgr, cur_bgr, Tcw_gt=mTcw_gt,
+                                         timestamp=timestamp)
+
+    # ------------------------------------------------------------------
     # Flat-array marshaling shims for the native C ABI (native/vido_system
     # .cpp): plain float64 buffers cross the boundary instead of Python
     # objects.
