@@ -219,10 +219,16 @@ class TestFusedBA:
         t_lite = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0,
                          fused_ba=True, record="light")
         assert not t_full.record_light and t_lite.record_light
+        # the bench/production configuration: pipelined + light
+        t_pipe = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0,
+                         fused_ba=True, record="light", pipelined=True)
         for fr in seq.frames:
             t_full.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
             t_lite.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+            t_pipe.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+        t_pipe.finish()
         np.testing.assert_array_equal(t_lite.map.poses, t_full.map.poses)
+        np.testing.assert_array_equal(t_pipe.map.poses, t_full.map.poses)
         assert t_lite.map.track_ids() == t_full.map.track_ids()
         # light records carry no per-point history
         assert t_lite.map.frames[-1].stat_uv.size == 0

@@ -1051,6 +1051,9 @@ class Tracker:
         """Process one frame from RAW BGR images (prev, cur) through the
         fused perception+tracking program; returns the camera pose Tcw."""
         assert self._step_frames is not None, "call attach_perception first"
+        assert not self.use_imu, (
+            "track_frames is the VO fast path; VIO needs the separate-"
+            "inputs track() route (IMU preintegration + scale handling)")
         prev = jnp.asarray(prev_bgr, jnp.float32)
         cur = jnp.asarray(cur_bgr, jnp.float32)
         if self.state is None:
