@@ -160,6 +160,25 @@ class PerceptionModel:
             )
         )
 
+    @classmethod
+    def from_pretrained(cls, weights_dir: str, height: int, width: int,
+                        mask_cfg: MaskRCNNConfig = RESNET50_FPN, **kw):
+        """Build from a tools/convert_weights.py output directory (bundles
+        named flow / depth / mask; any missing net keeps random init)."""
+        import os
+
+        from vido_slam_tpu.utils.checkpoint import load_params
+
+        def maybe(name):
+            base = os.path.join(weights_dir, name)
+            if os.path.exists(base + ".npz") or os.path.exists(base):
+                return load_params(base)
+            return None
+
+        return cls(height, width, mask_cfg,
+                   depth_params=maybe("depth"), flow_params=maybe("flow"),
+                   mask_params=maybe("mask"), **kw)
+
     def __call__(self, prev_bgr, cur_bgr) -> PerceptionOutput:
         return self._fwd(jnp.asarray(prev_bgr, jnp.float32),
                          jnp.asarray(cur_bgr, jnp.float32))
