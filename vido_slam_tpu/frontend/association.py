@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from vido_slam_tpu.frontend.objects import MAX_SEM
 
 MIN_RECOVER_PX = 100  # Tracking.cc:3325
+MAX_WARP_PX = 16384   # scatter budget for the recovery warp (see below)
 
 
 @jax.jit
@@ -43,11 +44,16 @@ def update_mask(
     recover = (last_count >= MIN_RECOVER_PX) & (cur_count == 0)
     recover = recover.at[0].set(False)
 
-    # forward-warp the recovered labels. The image-wide scatter-max lowers
-    # to a ~1 ms serial custom fusion on TPU, but recovery is the RARE path
-    # (an object must vanish from the detector while >= 100 px last frame):
-    # gate the warp behind lax.cond so the common no-recovery frame pays
-    # only the histogram reduction above.
+    # forward-warp the recovered labels. An image-wide scatter-max lowers
+    # to a ~1 ms serial custom fusion on TPU; recovery is the RARE path
+    # (an object must vanish from the detector while >= 100 px last frame),
+    # so the warp is gated behind lax.cond AND, when it fires, the scatter
+    # runs over a COMPACTED fixed budget of source pixels (top_k picks the
+    # first MAX_WARP_PX flagged pixels in raster order; scatter cost is
+    # ~9 ns/element, so 16k elements cost ~0.15 ms vs ~1.1 ms full-image).
+    # Recovery caps at MAX_WARP_PX pixels per frame — a documented bound
+    # (several large objects' worth; the reference's per-pixel loop is
+    # unbounded, Tracking.cc:3291-3357).
     def do_warp(_):
         vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
         uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
@@ -59,11 +65,17 @@ def update_mask(
         ).reshape(H, W)
         src_val = jnp.where(recover_px, last_c, 0)
         in_b = (tx >= 0) & (tx < W) & (ty >= 0) & (ty < H) & (src_val > 0)
-        tx = jnp.where(in_b, tx, 0)
-        ty = jnp.where(in_b, ty, 0)
-        return jnp.zeros((H, W), jnp.int32).at[ty, tx].max(
-            jnp.where(in_b, src_val, 0)
-        )
+        # pack (target position, label) into one int32 so ONE top_k both
+        # compacts and carries the payload (no slow follow-up gathers);
+        # in_b implies src_val > 0, so flagged entries are always > 0
+        packed = jnp.where(in_b, ((ty * W + tx) << 8) | src_val, 0)
+        k = min(MAX_WARP_PX, H * W)
+        vals, _ = jax.lax.top_k(packed.reshape(-1), k)
+        ok = vals > 0
+        val_k = jnp.where(ok, vals & 0xFF, 0)
+        pos = jnp.where(ok, vals >> 8, 0)
+        return jnp.zeros((H, W), jnp.int32).at[
+            pos // W, pos % W].max(val_k)
 
     warped = jax.lax.cond(
         jnp.any(recover), do_warp,
