@@ -54,11 +54,17 @@ def main():
     # thresholded masks; box decode pinned f32) so SLAM numerics are
     # unaffected, and the ROIAlign/head chain is the largest perception item
     mask_bf16 = os.environ.get("VIDO_BENCH_MASK_BF16", "1") == "1"
+    # flow stays f32 by default: bf16 was MEASURED SLOWER here (7.94 vs
+    # 6.39 ms/run device time — the flow net is gather/latency-bound, not
+    # MXU-bound, and the dtype converts around warps/correlation dominate);
+    # accuracy-wise bf16 is fine (<0.1 px, test_liteflownet)
+    flow_bf16 = os.environ.get("VIDO_BENCH_FLOW_BF16", "0") == "1"
     perception = PerceptionModel(
         H, W, MaskRCNNConfig(input_h=544, input_w=800), seed=0,
         use_pallas=True,
         compute_dtype=jnp.bfloat16 if bf16 else None,
         mask_dtype=jnp.bfloat16 if mask_bf16 else None,
+        flow_dtype=jnp.bfloat16 if flow_bf16 else None,
     )
     fused = os.environ.get("VIDO_BENCH_FUSED_BA", "1") == "1"
     tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,

@@ -51,4 +51,16 @@ class TestLiteFlowNet:
         np.testing.assert_allclose(np.asarray(f[0]), np.asarray(f_single[0]),
                                    atol=1e-4)
 
+    def test_bf16_matches_f32(self):
+        """bf16 params run the whole pyramid in bf16 (MXU-native) but must
+        track the f32 flow closely — the flow feeds a 0.4 px RANSAC gate."""
+        p, a, b = self._setup()
+        f32 = np.asarray(liteflownet_forward(p, a, b))
+        p16 = {k: v.astype(jnp.bfloat16) for k, v in p.items()}
+        f16 = np.asarray(liteflownet_forward(p16, a, b))
+        assert f16.dtype == np.float32  # output pinned to f32
+        scale = max(np.abs(f32).max(), 1.0)
+        assert np.abs(f16 - f32).max() / scale < 0.02
+
+
 pytestmark = pytest.mark.slow  # heavy jit: full tier only

@@ -124,7 +124,11 @@ def regularization_forward(p: Params, mi: int, level: int, f1, f2, feat1, feat2,
     diff = f1 - backwarp(f2, flow * FLT_BACKWARP[level])
     diff = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True))
 
-    flow_mean = jnp.mean(flow, axis=(1, 2), keepdims=True)
+    # image-wide mean reduces over ~3e4 px: accumulate in f32 even when the
+    # net runs bf16
+    flow_mean = jnp.mean(
+        flow.astype(jnp.float32), axis=(1, 2), keepdims=True
+    ).astype(flow.dtype)
     feat = _feat_1x1(p, f"{pre}.netFeat", feat1)
     x = jnp.concatenate([diff, flow - flow_mean, feat], axis=-1)
     x = _seq_conv(
@@ -157,10 +161,19 @@ def liteflownet_forward(
 ) -> jnp.ndarray:
     """first/second: (N, H, W, 3) RGB in [0, 1], H and W multiples of 32.
     Returns flow (N, H/2, W/2, 2) scaled x20 (layers.py:313) — the caller
-    resizes/rescales to full resolution (run_flow_net.py:87-107)."""
-    first = first - jnp.asarray(MEAN_FIRST)
-    second = second - jnp.asarray(MEAN_SECOND)
+    resizes/rescales to full resolution (run_flow_net.py:87-107).
 
+    Compute dtype follows the params dtype (bf16 params run the whole
+    pyramid in bf16 — correlation and warp coords still accumulate in f32);
+    the returned flow is always f32."""
+    dt = jax.tree_util.tree_leaves(params)[0].dtype
+    first = first.astype(dt) - jnp.asarray(MEAN_FIRST, dt)
+    second = second.astype(dt) - jnp.asarray(MEAN_SECOND, dt)
+
+    # NOTE: stacking the two images on the batch axis to run the encoder
+    # once was measured SLOWER (6.39 -> 6.81 ms/run device time): the
+    # full-res concat + per-level splits cost more bandwidth than the
+    # second pass's op overhead saves. Keep two encoder passes.
     feats1 = features_forward(params, first)
     feats2 = features_forward(params, second)
 
@@ -179,7 +192,7 @@ def liteflownet_forward(
         flow = matching_forward(params, mi, level, *a, flow, use_pallas)
         flow = subpixel_forward(params, mi, level, *a, flow)
         flow = regularization_forward(params, mi, level, *a, flow)
-    return flow * 20.0
+    return flow.astype(jnp.float32) * 20.0
 
 
 def flow_full_resolution(flow: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

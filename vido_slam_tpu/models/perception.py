@@ -84,7 +84,8 @@ def perception_forward(
     disp = monodepth2_disp(depth_params, d_in).astype(jnp.float32)
     depth_u16 = disp_to_uint16_depth(disp, height, width)[0]
 
-    # --- LiteFlowNet (prev -> cur) ---
+    # --- LiteFlowNet (prev -> cur) --- (compute dtype follows flow_params;
+    # liteflownet_forward casts inputs and returns f32 flow)
     ph, pw = _ceil32(height), _ceil32(width)
     f_first = _resize(prev_rgb, ph, pw)
     f_second = _resize(cur_rgb, ph, pw)
@@ -124,13 +125,22 @@ class PerceptionModel:
         use_pallas: bool = True,
         compute_dtype=None,
         mask_dtype=None,
+        flow_dtype=None,
     ):
         """compute_dtype casts the depth + detector params (bf16 rides the
         MXU natively); mask_dtype casts ONLY the detector. The detector is
         the safe bf16 target: its outputs are discrete (labels, thresholded
         masks) and box/NMS decode is pinned to f32 (rpn.py/roi_heads.py),
         while bf16 disparity would quantise metric depth at ~2^-8 relative —
-        directly visible in ATE."""
+        directly visible in ATE. flow_dtype casts ONLY LiteFlowNet: the
+        correlation / image-mean reductions and warp coordinates stay f32
+        (ops/correlation.py, ops/warp.py) and the output flow is f32; the
+        end-to-end bf16-vs-f32 flow deviation is sub-0.1 px (test_liteflownet)
+        against flow values of O(10) px, well inside the 0.4 px RANSAC gate
+        the flow feeds (Tracking.cc:1965-1968). NOTE: on v5e bf16 flow was
+        measured SLOWER (7.94 vs 6.39 ms device) — the net is gather/latency
+        bound, so the boundary converts dominate; keep f32 unless profiling
+        says otherwise on your chip."""
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
         self.height = height
         self.width = width
@@ -146,6 +156,10 @@ class PerceptionModel:
         if mask_dtype is not None:
             self.mask_params = {
                 k: v.astype(mask_dtype) for k, v in self.mask_params.items()
+            }
+        if flow_dtype is not None:
+            self.flow_params = {
+                k: v.astype(flow_dtype) for k, v in self.flow_params.items()
             }
         # Closure-jit over the (static) parameter sets: passing the three
         # param dicts (~650 leaves) as jit arguments costs ~1.2 ms of host

@@ -48,8 +48,8 @@ def correlation(f1: jnp.ndarray, f2: jnp.ndarray, stride: int = 1) -> jnp.ndarra
         for o in range(-3, 4):
             sh = _shift2d(f2, p * stride, o * stride)
             f2s = sh[:, ::stride, ::stride, :]
-            taps.append(jnp.mean(f1s * f2s, axis=-1))
-    return jnp.stack(taps, axis=-1)
+            taps.append(jnp.mean((f1s * f2s).astype(jnp.float32), axis=-1))
+    return jnp.stack(taps, axis=-1).astype(f1.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -116,9 +116,12 @@ def _corr_kernel(f1_ref, f2m_ref, f2c_ref, f2p_ref, out_ref, *, stride: int,
             )
             ch = (p + 3) * 7 + (o + 3)
             # write each tap straight to the output block so Mosaic can free
-            # the slice buffers between taps (a 49-way stack OOMs VMEM)
+            # the slice buffers between taps (a 49-way stack OOMs VMEM).
+            # Accumulate the C-length sum in f32: a bf16 sum over 192
+            # channels loses ~2^-8*sqrt(C) relative accuracy.
+            prod = (f1s * f2s).astype(jnp.float32)
             out_ref[0, :, :, ch] = (
-                jnp.sum(f1s * f2s, axis=-1) * inv_c
+                jnp.sum(prod, axis=-1) * inv_c
             ).astype(out_ref.dtype)
 
 

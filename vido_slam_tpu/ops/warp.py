@@ -53,9 +53,11 @@ def backwarp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     N, H, W, _ = flow.shape
     ii = jax.lax.broadcasted_iota(jnp.float32, (N, H, W), 2)
     jj = jax.lax.broadcasted_iota(jnp.float32, (N, H, W), 1)
-    sx = ii + flow[..., 0] * (W / (W - 1.0))
-    sy = jj + flow[..., 1] * (H / (H - 1.0))
-    return grid_sample_nhwc(x, sx, sy)
+    sx = ii + flow[..., 0].astype(jnp.float32) * (W / (W - 1.0))
+    sy = jj + flow[..., 1].astype(jnp.float32) * (H / (H - 1.0))
+    # sample coords stay f32; the result follows the input dtype so a bf16
+    # net stays bf16 through its warps
+    return grid_sample_nhwc(x, sx, sy).astype(x.dtype)
 
 
 def resize_bilinear(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
