@@ -139,4 +139,44 @@ class TestShardedDetection:
                              gt, gt_valid)
         assert ap0 < 0.01
 
+class TestDetectionTrainerLoop:
+    """engine/trainer.py do_train counterpart: the full loop (SGD solver,
+    logging, checkpointing) runs on the mesh and the loss stays finite."""
+
+    def test_run_detection_training(self, tmp_path):
+        from vido_slam_tpu.models.maskrcnn.model import (
+            MaskRCNNConfig, init_maskrcnn_params)
+        from vido_slam_tpu.parallel.train import run_detection_training
+        from vido_slam_tpu.utils.checkpoint import load_params
+
+        mesh = make_mesh(dp=4, tp=2)
+        cfg = MaskRCNNConfig(input_h=64, input_w=96)
+        params = init_maskrcnn_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.RandomState(0)
+        B, G = 4, 4
+        boxes = np.zeros((B, G, 4), np.float32)
+        labels = np.zeros((B, G), np.int32)
+        valid = np.zeros((B, G), bool)
+        masks = np.zeros((B, G, 32, 48), np.float32)
+        boxes[:, 0] = [10, 10, 50, 40]
+        labels[:, 0] = 3
+        valid[:, 0] = True
+        masks[:, 0, 5:20, 5:25] = 1.0
+        batch = {"image": rng.rand(B, 64, 96, 3).astype(np.float32) * 50,
+                 "targets": {"boxes": boxes, "labels": labels,
+                             "masks": masks, "valid": valid}}
+        logs = []
+        out = run_detection_training(
+            params, [batch], mesh, cfg, num_iters=3, base_lr=1e-4,
+            warmup_iters=2, checkpoint_period=2, log_period=1,
+            output_dir=str(tmp_path), log_fn=logs.append)
+        assert len(logs) == 3 and "loss" in logs[0]
+        # both the periodic and the final checkpoint exist and load
+        restored = load_params(str(tmp_path / "model_final"))
+        assert set(restored) == set(out)
+        np.testing.assert_allclose(np.asarray(restored["backbone.fpn.fpn_inner1.weight"]),
+                                   np.asarray(out["backbone.fpn.fpn_inner1.weight"]))
+        assert load_params(str(tmp_path / "model_0000002")) is not None
+
+
 pytestmark = pytest.mark.slow  # heavy jit: full tier only

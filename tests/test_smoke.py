@@ -159,3 +159,41 @@ class TestModelBlocksSmoke:
         keep_idx, keep_ok = nms(boxes, scores, jnp.ones(3, bool), 0.5, 3)
         kept = set(np.asarray(keep_idx)[np.asarray(keep_ok)].tolist())
         assert kept == {0, 2}
+
+
+class TestDetectionSolverSmoke:
+    def test_warmup_multistep_schedule(self):
+        """WarmupMultiStepLR semantics (maskrcnn_benchmark/solver/
+        lr_scheduler.py): linear warmup from base/3, then gamma decay at
+        each milestone."""
+        from vido_slam_tpu.parallel.train import warmup_multistep_schedule
+
+        lr = warmup_multistep_schedule(
+            base_lr=0.01, warmup_iters=500, steps=(1000, 2000), gamma=0.1)
+        np.testing.assert_allclose(float(lr(0)), 0.01 / 3.0, rtol=1e-5)
+        np.testing.assert_allclose(float(lr(250)),
+                                   0.01 * (1.0 / 3 + 2.0 / 3 * 0.5), rtol=1e-5)
+        np.testing.assert_allclose(float(lr(500)), 0.01, rtol=1e-5)
+        np.testing.assert_allclose(float(lr(999)), 0.01, rtol=1e-5)
+        np.testing.assert_allclose(float(lr(1000)), 0.001, rtol=1e-5)
+        np.testing.assert_allclose(float(lr(2500)), 0.0001, rtol=1e-5)
+
+    def test_detection_optimizer_bias_rules(self):
+        """SGD solver: biases get 2x lr and no weight decay
+        (solver/build.py make_optimizer; defaults.py:397,402)."""
+        import optax
+        from vido_slam_tpu.parallel.train import make_detection_optimizer
+
+        opt = make_detection_optimizer(
+            base_lr=0.01, warmup_iters=0, weight_decay=0.0, momentum=0.0)
+        params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+        state = opt.init(params)
+        grads = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+        updates, _ = opt.update(grads, state, params)
+        # bias update = 2x weight update (BIAS_LR_FACTOR)
+        np.testing.assert_allclose(
+            np.asarray(updates["b"])[0],
+            2.0 * np.asarray(updates["w"])[0, 0], rtol=1e-6)
+        # no decay at wd=0: update direction is -lr * grad
+        np.testing.assert_allclose(np.asarray(updates["w"])[0, 0],
+                                   -0.01, rtol=1e-5)
