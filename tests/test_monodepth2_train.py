@@ -154,6 +154,68 @@ class TestDepthMetrics:
         assert m["a1"] > 0.999
 
 
+class TestPoseEvaluation:
+    """evaluate_pose.py counterpart (dump_xyz/compute_ate/snippet loop)."""
+
+    def test_perfect_prediction_zero_ate(self):
+        from vido_slam_tpu.models.monodepth2_train import (
+            evaluate_pose_snippets,
+        )
+        rng = np.random.RandomState(0)
+        rel = np.broadcast_to(np.eye(4), (12, 4, 4)).copy()
+        rel[:, :3, 3] = rng.randn(12, 3) * 0.2
+        mean, std, ates = evaluate_pose_snippets(rel, rel)
+        assert mean < 1e-12 and std < 1e-12
+        assert len(ates) == 12 - 5 + 2
+
+    def test_global_scale_is_factored_out(self):
+        from vido_slam_tpu.models.monodepth2_train import (
+            evaluate_pose_snippets,
+        )
+        rng = np.random.RandomState(1)
+        gt = np.broadcast_to(np.eye(4), (10, 4, 4)).copy()
+        gt[:, :3, 3] = rng.randn(10, 3) * 0.3
+        pred = gt.copy()
+        pred[:, :3, 3] *= 2.4      # mono scale ambiguity
+        mean, _, _ = evaluate_pose_snippets(pred, gt)
+        assert mean < 1e-9
+
+    def test_dump_xyz_accumulates(self):
+        from vido_slam_tpu.models.monodepth2_train import dump_xyz
+        step = np.eye(4)
+        step[0, 3] = 1.0
+        xyz = dump_xyz([step] * 3)
+        np.testing.assert_allclose(xyz[:, 0], [0, 1, 2, 3], atol=1e-12)
+
+
+class TestFlowToRgb:
+    def test_shapes_and_zero_flow_is_white(self):
+        from vido_slam_tpu.viz import flow_to_rgb
+        img = flow_to_rgb(np.zeros((8, 10, 2), np.float32))
+        assert img.shape == (8, 10, 3) and img.dtype == np.uint8
+        assert (img == 255).all()    # zero magnitude -> zero saturation
+
+    def test_directions_get_distinct_hues(self):
+        from vido_slam_tpu.viz import flow_to_rgb
+        flow = np.zeros((2, 2, 2), np.float32)
+        flow[0, 0] = (5.0, 0.0)     # +x
+        flow[0, 1] = (0.0, 5.0)     # +y
+        flow[1, 0] = (-5.0, 0.0)    # -x
+        img = flow_to_rgb(flow)      # min-max normalised saturation
+        # +x is hue 0 at full saturation -> pure red
+        assert img[0, 0, 0] == 255 and img[0, 0, 1] < 10
+        colors = {tuple(img[0, 0]), tuple(img[0, 1]), tuple(img[1, 0])}
+        assert len(colors) == 3
+        # normalize=False keeps raw magnitude as saturation (run.py:160-162):
+        # a magnitude-5 flow is a nearly unsaturated pixel
+        raw = flow_to_rgb(flow, normalize=False)
+        assert int(raw[0, 0].min()) >= 245
+        # NaNs zeroed like the reference
+        flow[1, 1] = (np.nan, np.nan)
+        img2 = flow_to_rgb(flow)
+        assert img2.dtype == np.uint8
+
+
 def _make_scene(N=2, H=64, W=96, seed=0):
     """Textured fronto-parallel scene at varying depth, camera translating
     in x: prev/next are exact warps of the centre frame, so the photometric

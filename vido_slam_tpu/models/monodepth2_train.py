@@ -365,3 +365,54 @@ def evaluate_depth(
     p = np.clip(p, min_depth, max_depth)
     return {k: float(v) for k, v in
             compute_depth_errors(jnp.asarray(g), jnp.asarray(p)).items()}
+
+
+# ---------------------------------------------------------------------------
+# pose evaluation (depricated/evaluate_pose.py — the KITTI-odometry snippet
+# ATE protocol from SfMLearner)
+# ---------------------------------------------------------------------------
+
+def dump_xyz(rel_transforms) -> "np.ndarray":
+    """Accumulate source->target relative transforms into camera positions
+    (evaluate_pose.py:23-30). rel_transforms: (M, 4, 4) array-like; returns
+    (M+1, 3) positions starting at the origin."""
+    import numpy as np
+
+    xyzs = [np.zeros(3)]
+    cam_to_world = np.eye(4)
+    for T in np.asarray(rel_transforms):
+        cam_to_world = cam_to_world @ T
+        xyzs.append(cam_to_world[:3, 3].copy())
+    return np.stack(xyzs)
+
+
+def compute_ate_snippet(gt_xyz, pred_xyz) -> float:
+    """Snippet ATE with first-frame offset alignment and a closed-form
+    optimal scale (evaluate_pose.py:34-46; note the reference normalises by
+    N, not sqrt(N) — kept verbatim for comparable numbers)."""
+    import numpy as np
+
+    gt_xyz = np.asarray(gt_xyz, np.float64)
+    pred = np.asarray(pred_xyz, np.float64)
+    pred = pred + (gt_xyz[0] - pred[0])[None]
+    scale = np.sum(gt_xyz * pred) / max(np.sum(pred ** 2), 1e-12)
+    err = pred * scale - gt_xyz
+    return float(np.sqrt(np.sum(err ** 2)) / gt_xyz.shape[0])
+
+
+def evaluate_pose_snippets(pred_rel, gt_rel, track_length: int = 5):
+    """The evaluate_pose.py scoring loop (:114-125): slide a
+    `track_length`-frame window over the relative-pose sequences, integrate
+    both, and score each snippet's ATE. Returns (mean, std, list)."""
+    import numpy as np
+
+    pred_rel = np.asarray(pred_rel)
+    gt_rel = np.asarray(gt_rel)
+    assert pred_rel.shape == gt_rel.shape
+    n = pred_rel.shape[0]
+    ates = []
+    for i in range(0, n - track_length + 2):
+        p = dump_xyz(pred_rel[i:i + track_length - 1])
+        g = dump_xyz(gt_rel[i:i + track_length - 1])
+        ates.append(compute_ate_snippet(g, p))
+    return float(np.mean(ates)), float(np.std(ates)), ates

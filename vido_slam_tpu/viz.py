@@ -167,6 +167,29 @@ def plot_scene_3d(slam_map: SlamMap, path: str,
     plt.close(fig)
 
 
+def flow_to_rgb(flow: np.ndarray, normalize: bool = True) -> np.ndarray:
+    """Optical-flow visualization with the flow_net runner's HSV recipe
+    (reference flow_net/src/run.py:123-166): hue = flow angle (OpenCV
+    half-degrees), saturation = min-max-normalised magnitude, value = 255.
+    flow (H, W, 2) -> uint8 RGB (H, W, 3); cv2-free."""
+    u = np.nan_to_num(np.asarray(flow[..., 0], np.float32))
+    v = np.nan_to_num(np.asarray(flow[..., 1], np.float32))
+    mag = np.sqrt(u * u + v * v)
+    ang = np.arctan2(v, u)          # cv2.cartToPolar range [0, 2pi)
+    ang = np.where(ang < 0, ang + 2 * np.pi, ang)
+    h_deg = ang * 180.0 / np.pi / 2.0               # [0, 180) like cv2 HSV
+    if normalize:
+        lo, hi = mag.min(), mag.max()
+        sat = (mag - lo) / max(hi - lo, 1e-12) * 255.0
+    else:
+        sat = np.clip(mag, 0, 255)
+    # HSV (cv2 layout: h in [0,180), s/v in [0,255]) -> RGB
+    from matplotlib.colors import hsv_to_rgb
+
+    hsv = np.stack([h_deg / 180.0, sat / 255.0, np.ones_like(sat)], axis=-1)
+    return (hsv_to_rgb(hsv) * 255.0).astype(np.uint8)
+
+
 def draw_frame_overlay(image: np.ndarray, slam_map: SlamMap,
                        frame_idx: int = -1, path: str = None) -> np.ndarray:
     """DisplayDynamicImage equivalent: the input frame annotated with the
