@@ -215,7 +215,10 @@ def init_selfsup_params(key) -> Params:
 class SelfSupBatch(NamedTuple):
     """One training minibatch. color/prev/next: (N, H, W, 3) RGB in [0,1]
     (H, W multiples of 32); K/inv_K at full resolution. stereo/stereo_T are
-    optional (the 's' frame, trainer.py:360-362)."""
+    optional (the 's' frame, trainer.py:360-362). The *_aug fields are the
+    color-jittered copies fed to the networks (inputs[("color_aug", ...)],
+    trainer.py:247/276 — the photometric LOSS always uses the clean
+    frames); None means no augmentation (val/test)."""
     color: jnp.ndarray
     prev: jnp.ndarray
     next: jnp.ndarray
@@ -223,6 +226,9 @@ class SelfSupBatch(NamedTuple):
     inv_K: jnp.ndarray
     stereo: Optional[jnp.ndarray] = None
     stereo_T: Optional[jnp.ndarray] = None
+    color_aug: Optional[jnp.ndarray] = None
+    prev_aug: Optional[jnp.ndarray] = None
+    next_aug: Optional[jnp.ndarray] = None
 
 
 @partial(jax.jit, static_argnames=("scales", "min_depth", "max_depth",
@@ -244,12 +250,16 @@ def selfsup_loss(
     min-over-sources reprojection with identity automasking (1e-5 noise
     tie-break), edge-aware smoothness 1e-3/2^s on mean-normalised disp."""
     N, H, W, _ = batch.color.shape
-    feats = resnet18_features(params, batch.color)
+    # networks eat the augmented frames, losses the clean ones
+    cur_in = batch.color if batch.color_aug is None else batch.color_aug
+    prev_in = batch.prev if batch.prev_aug is None else batch.prev_aug
+    next_in = batch.next if batch.next_aug is None else batch.next_aug
+    feats = resnet18_features(params, cur_in)
     disps = depth_decoder_forward(params, feats)
 
     # relative poses: prev uses (prev, cur) inverted; next uses (cur, next)
-    sources = [(batch.prev, predict_pose(params, batch.prev, batch.color, True)),
-               (batch.next, predict_pose(params, batch.color, batch.next, False))]
+    sources = [(batch.prev, predict_pose(params, prev_in, cur_in, True)),
+               (batch.next, predict_pose(params, cur_in, next_in, False))]
     if batch.stereo is not None:
         sources.append((batch.stereo, batch.stereo_T))
 
@@ -289,7 +299,8 @@ def selfsup_loss(
     return total, aux
 
 
-def make_selfsup_train_step(mesh, lr: float = 1e-4, **loss_kw):
+def make_selfsup_train_step(mesh, lr: float = 1e-4, aug: bool = False,
+                            **loss_kw):
     """dp-sharded jitted (params, opt_state, batch, key) ->
     (params, opt_state, loss): the trainer.py run_epoch step (Adam 1e-4,
     trainer.py:91) over a device mesh — gradients psum over 'dp'."""
@@ -317,8 +328,10 @@ def make_selfsup_train_step(mesh, lr: float = 1e-4, **loss_kw):
         return params, opt_state, loss
 
     bsh = NamedSharding(mesh, P("dp"))
+    a = bsh if aug else None   # aug batches carry the *_aug arrays
     batch_sh = SelfSupBatch(color=bsh, prev=bsh, next=bsh, K=bsh, inv_K=bsh,
-                            stereo=None, stereo_T=None)
+                            stereo=None, stereo_T=None,
+                            color_aug=a, prev_aug=a, next_aug=a)
     return jax.jit(step, in_shardings=(None, None, batch_sh, None))
 
 
