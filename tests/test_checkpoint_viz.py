@@ -109,4 +109,63 @@ class TestViz:
         assert out.max() > 0  # features drawn
         assert os.path.exists(p5) and os.path.getsize(p5) > 500
 
+    def test_object_motion_error_plot(self, tmp_path):
+        """Per-object PlotMetricError curves: exact GT motions must score
+        ~zero; a perturbed GT shows up in the means."""
+        from vido_slam_tpu.viz import plot_object_motion_errors
+
+        _, seq, tracker = run_short_sequence(n_frames=6)
+        # build gt_motions from the tracker's own estimates (error == 0),
+        # covering every tracked object
+        gtm = {}
+        for f in tracker.map.frames:
+            for ob in f.objects:
+                if ob.status:
+                    gtm.setdefault(ob.track_id, {})[f.frame_id] = ob.motion
+        assert gtm, "synthetic scene should track the moving box"
+        p = str(tmp_path / "objerr.png")
+        summary = plot_object_motion_errors(tracker.map, gtm, p)
+        assert os.path.exists(p) and os.path.getsize(p) > 1000
+        for tid, s in summary.items():
+            assert s["t_mean"] < 1e-6 and s["r_deg_mean"] < 1e-3
+        # perturbed GT -> nonzero error
+        bad = {}
+        for t, d in gtm.items():
+            bad[t] = {}
+            for f, H in d.items():
+                Hb = np.asarray(H).copy()
+                Hb[0, 3] += 0.5
+                bad[t][f] = Hb
+        summary2 = plot_object_motion_errors(
+            tracker.map, bad, str(tmp_path / "objerr2.png"))
+        assert any(s["t_mean"] > 0.4 for s in summary2.values())
+
+    def test_obj_gt_rows_stored_on_record(self):
+        """System.TrackRGBD keeps vObjPose_gt rows with the frame record."""
+        from vido_slam_tpu.io.synthetic import SyntheticSequence, simple_scene
+        from vido_slam_tpu.system import Sensor, System
+
+        scene = simple_scene(width=256, height=160, moving_box=True)
+        from vido_slam_tpu.geometry.se3 import make_se3
+
+        dT = np.asarray(make_se3(jnp.eye(3), jnp.array([0.0, 0.0, -0.4])))
+        seq = SyntheticSequence(scene, [dT], n_frames=3)
+        sys_ = System()
+        cfg = config_from_dict({
+            "Camera.width": scene.cam.width, "Camera.height": scene.cam.height,
+            "Camera.fx": float(scene.cam.fx), "Camera.fy": float(scene.cam.fy),
+            "Camera.cx": float(scene.cam.cx), "Camera.cy": float(scene.cam.cy),
+            "Camera.bf": float(scene.cam.bf), "MaxTrackPointBG": 600,
+            "DepthMapFactor": 1.0, "ChooseData": 1,
+        })
+        sys_.init_from_config(cfg, Sensor.RGBD, n_bg=600, n_obj=1500,
+                              max_objects=4)
+        rows = np.asarray([[0, 1, 0, 0, 0, 0, 0, 0, 0, 0]], np.float64)
+        for fr in seq.frames:
+            sys_.TrackRGBD(None, np.asarray(fr.depth), np.asarray(fr.flow),
+                           np.asarray(fr.mask), mTcw_gt=fr.Tcw_gt,
+                           vObjPose_gt=rows)
+        assert all(f.obj_gt is not None for f in sys_.tracker.map.frames)
+        np.testing.assert_array_equal(sys_.tracker.map.frames[-1].obj_gt, rows)
+
 pytestmark = pytest.mark.slow  # heavy jit: full tier only

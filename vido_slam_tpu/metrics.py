@@ -102,6 +102,14 @@ def object_motion_error(
     }
 
 
+def gt_object_motion(pose_pre: np.ndarray, pose_cur: np.ndarray) -> np.ndarray:
+    """World-frame GT rigid motion from two object poses (object->world):
+    a point on the body moves x_w(t) = P_t P_{t-1}^-1 x_w(t-1), so
+    H_gt = P_cur @ inv(P_pre) — the quantity the estimated vmRigidMotion is
+    compared against (Tracking.cc GetMetricError)."""
+    return np.asarray(pose_cur) @ np.linalg.inv(np.asarray(pose_pre))
+
+
 def speed_error(speed_est_kmh: float, H_gt: np.ndarray, centroid: np.ndarray,
                 fps: float = 10.0) -> float:
     """|est - gt| speed where gt = |t - (I-R) c| * 3.6 * fps (Tracking.cc:1295-1302)."""

@@ -59,6 +59,9 @@ class FrameRecord:
     # measured camera motion Twc_{t-1}^-1 Twc_t at tracking time (None for
     # frame 0); the window-BA odometry measurement (vmRigidMotion[i][0])
     cam_motion: Optional[np.ndarray] = None
+    # raw GT object-pose rows for this frame (the TrackRGBD vObjPose_gt
+    # argument, stored verbatim for metric evaluation)
+    obj_gt: Optional[np.ndarray] = None
 
 
 class SlamMap:

@@ -157,6 +157,10 @@ class System:
             Tcw_gt=mTcw_gt, timestamp=timestamp, image=gray,
         )
         self.scale = self.tracker.imu_scale
+        if vObjPose_gt is not None and len(self.tracker.map):
+            # keep the GT object-pose rows with the frame record for
+            # GetMetricError/PlotMetricError-style evaluation
+            self.tracker.map.frames[-1].obj_gt = np.asarray(vObjPose_gt)
         if (nImage is not None and len(self.tracker.map) >= nImage
                 and cfg.system.choose_data == 2):
             # KITTI StopFrame: global batch over the full trajectory

@@ -95,6 +95,53 @@ def plot_metric_error(slam_map: SlamMap, path: str) -> Dict[str, float]:
     }
 
 
+def plot_object_motion_errors(
+    slam_map: SlamMap, gt_motions: Dict[int, Dict[int, np.ndarray]],
+    path: str, body_frame: bool = True,
+) -> Dict[int, Dict[str, float]]:
+    """Per-object motion-error curves — the object half of PlotMetricError
+    (Tracking.cc:3676-3933). `gt_motions[track_id][frame_id]` is the GT
+    world-frame motion H_gt for that frame (build with
+    metrics.gt_object_motion from consecutive GT object poses, or parse
+    FrameRecord.obj_gt). Errors use metrics.object_motion_error (body-frame
+    when an object pose is known is the reference default; here the
+    world-frame error unless the caller pre-conjugates). Returns per-object
+    mean errors."""
+    from vido_slam_tpu.metrics import object_motion_error
+
+    del body_frame  # conjugation is the caller's choice via gt_motions
+    plt = _mpl()
+    fig, axes = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
+    summary: Dict[int, Dict[str, float]] = {}
+    for tid, gtm in sorted(gt_motions.items()):
+        xs, te, re = [], [], []
+        for f in slam_map.frames:
+            if f.frame_id not in gtm:
+                continue
+            for ob in f.objects:
+                if ob.track_id == tid and ob.status:
+                    e = object_motion_error(ob.motion, gtm[f.frame_id])
+                    xs.append(f.frame_id)
+                    te.append(e["trans_err"])
+                    re.append(e["rot_err_deg"])
+        if not xs:
+            continue
+        axes[0].plot(xs, te, "o-", ms=3, label=f"object {tid}")
+        axes[1].plot(xs, re, "o-", ms=3, label=f"object {tid}")
+        summary[tid] = {"t_mean": float(np.mean(te)),
+                        "r_deg_mean": float(np.mean(re))}
+    axes[0].set_ylabel("obj motion err t [m]")
+    axes[1].set_ylabel("obj motion err R [deg]")
+    axes[1].set_xlabel("frame")
+    for ax in axes:
+        ax.grid(True, alpha=0.3)
+        ax.legend(fontsize=8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return summary
+
+
 def save_speed_plot(slam_map: SlamMap, path: str) -> None:
     """Per-object speed over time (the viewer's speed overlay)."""
     plt = _mpl()
