@@ -85,6 +85,38 @@ class TestTrackFrames:
                                        atol=5e-3)
         assert len(t_fus.map) == len(t_sep.map)
 
+    def test_pair_program_matches_single(self, model, frames):
+        """track_frames_pair (two frames per device program) must produce
+        the same records/trajectory as two track_frames calls."""
+        cfg = config_from_dict({
+            "Camera.width": W, "Camera.height": H,
+            "Camera.fx": 80.0, "Camera.fy": 80.0,
+            "Camera.cx": W / 2, "Camera.cy": H / 2, "Camera.bf": 32.0,
+            "ChooseData": 3, "DepthMapFactor": 500, "WINDOW_SIZE": 4,
+        })
+        kw = dict(n_bg=200, n_obj=400, max_objects=2, seed=0,
+                  local_ba=True, fused_ba=True, ba_max_points=100,
+                  ba_iters=3, pipelined=True)
+        t1 = Tracker(cfg, **kw)
+        t2 = Tracker(cfg, **kw)
+        for t in (t1, t2):
+            t.attach_perception(model, "kaist",
+                                cfg.system.depth_map_factor, cfg.camera.bf)
+        for i in range(5):
+            t1.track_frames(frames[i], frames[i + 1])
+        t1.finish()
+        t2.track_frames_pair(frames[0], frames[1], frames[2])   # init only
+        t2.track_frames_pair(frames[1], frames[2], frames[3])   # frames 1,2
+        t2.track_frames_pair(frames[3], frames[4], frames[5])   # frames 3,4
+        t2.finish()
+        assert len(t2.map) == len(t1.map) == 5
+        p1 = t1.map.poses
+        p2 = t2.map.poses
+        np.testing.assert_allclose(p2, p1, atol=5e-3)
+        # timestamps follow the frame index
+        ts = [f.timestamp for f in t2.map.frames]
+        assert ts == sorted(ts)
+
     def test_system_facade_fused_path(self, model, frames):
         """System.AttachPerception / TrackFrames (the realtime VO surface)
         runs end-to-end and records frames."""

@@ -552,8 +552,10 @@ class Tracker:
         self._pending_ba = None
         # fused perception+tracking program (attach_perception)
         self._step_frames = None
+        self._step_frames2 = None
         self._attached = None
         self._init_perceive = None
+        self._pending_q: list = []   # track_frames_pair outputs awaiting record
         # ---- VIO state (Tracking.cc:112-121, 784-1077) ----
         self.use_imu = use_imu
         self.imu_max_frames = imu_max_frames
@@ -1047,6 +1049,16 @@ class Tracker:
         self._attached = (model, depth_mode, dm_factor, bf_, scale)
         self._step_frames = jax.jit(fused)
 
+        # two frames per device program (track_frames_pair): halves the
+        # per-program tunnel costs (scheduling + copy turnaround) at the
+        # price of one frame of extra latency. Compiled lazily on first use.
+        def fused2(state, f0, f1, f2):
+            state, fA, iA = fused(state, f0, f1)
+            state, fB, iB = fused(state, f1, f2)
+            return state, fA, iA, fB, iB
+
+        self._step_frames2 = jax.jit(fused2)
+
     def track_frames(self, prev_bgr, cur_bgr, Tcw_gt=None, timestamp=None):
         """Process one frame from RAW BGR images (prev, cur) through the
         fused perception+tracking program; returns the camera pose Tcw."""
@@ -1084,10 +1096,70 @@ class Tracker:
         return self._post_step((out_f, out_i), float(timestamp), Tcw_gt,
                                t_start)
 
+    def track_frames_pair(self, f0, f1, f2, Tcw_gt=None):
+        """Process TWO frames (transitions f0->f1 and f1->f2) in ONE device
+        program — the per-program tunnel cost (scheduling + copy turnaround)
+        amortises over two frames. Requires attach_perception and the
+        pipelined fused-BA configuration (records lag up to two frames
+        until finish()). Frame k's inputs are perception(f_k, f_k+1), like
+        track_frames — so the FIRST call only initialises frame 0 from
+        (f0, f1) and returns; subsequent calls must chain at odd offsets
+        ((f1,f2,f3), (f3,f4,f5), ...), each processing frames k and k+1.
+        `Tcw_gt`: optional (gtA, gtB) pair for the two frames."""
+        assert self._step_frames2 is not None, "call attach_perception first"
+        assert self.pipelined and self.fused_ba and not self.use_imu, (
+            "track_frames_pair requires pipelined=True, fused_ba=True, VO")
+        f0 = jnp.asarray(f0, jnp.float32)
+        f1 = jnp.asarray(f1, jnp.float32)
+        f2 = jnp.asarray(f2, jnp.float32)
+        if self.state is None:
+            model, mode, fct, bf_, scale = self._attached
+            if self._init_perceive is None:
+                self._init_perceive = model.make_slam_forward(
+                    mode, fct, bf_, scale)
+            depth, flow, mask = self._init_perceive(f0, f1)
+            self.initialize(depth, flow, mask, None, 0.0)
+            return np.eye(4, dtype=np.float32)
+        if self._out_spec is None:
+            H, W = self.cam.height, self.cam.width
+            self._ensure_out_spec(
+                self.state,
+                jax.ShapeDtypeStruct((H, W), jnp.float32),
+                jax.ShapeDtypeStruct((H, W, 2), jnp.float32),
+                jax.ShapeDtypeStruct((H, W), jnp.int32),
+                jax.ShapeDtypeStruct((H, W), jnp.float32),
+            )
+        t_start = time.perf_counter()
+        new_state, fA, iA, fB, iB = self._step_frames2(self.state, f0, f1, f2)
+        self.state = new_state
+        # copies ride directly behind the dispatch on the FIFO transport
+        for b in (fA, iA, fB, iB):
+            b.copy_to_host_async()
+        # record the PREVIOUS pair while this one computes
+        self._drain_pending_q()
+        fps = self.cam.fps
+        base = self.frame_id
+        gA, gB = (None, None) if Tcw_gt is None else Tcw_gt
+        dt = time.perf_counter() - t_start
+        self._pending_q.append(((fA, iA), base / fps,
+                                None if gA is None else np.asarray(gA), dt))
+        self._pending_q.append(((fB, iB), (base + 1) / fps,
+                                None if gB is None else np.asarray(gB), dt))
+        self._last_ts = (base + 1) / fps
+        return self.state.Tcw     # lazy device array (see _post_step)
+
+    def _drain_pending_q(self):
+        for out, ts, tgt, dt in self._pending_q:
+            h = self._fetch_outputs(out)
+            self._record_outputs(h, ts, tgt, dt)
+            self._apply_fused_ba(h)
+        self._pending_q = []
+
     # ------------------------------------------------------------------
     def finish(self):
         """Drain deferred work: pending frame outputs (pipelined mode) and
         the in-flight window-BA result."""
+        self._drain_pending_q()
         self._finalize_pending_ba()
         if self.pipelined:
             self._process_pending()
