@@ -141,38 +141,62 @@ class PerceptionModel:
         measured SLOWER (7.94 vs 6.39 ms device) — the net is gather/latency
         bound, so the boundary converts dominate; keep f32 unless profiling
         says otherwise on your chip."""
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
         self.height = height
         self.width = width
         self.mask_cfg = mask_cfg
         self.use_pallas = use_pallas
-        self.depth_params = depth_params or init_monodepth2_params(k1)
-        self.flow_params = flow_params or init_liteflownet_params(k2)
-        self.mask_params = mask_params or init_maskrcnn_params(k3, mask_cfg)
-        if compute_dtype is not None:
-            cast = lambda p: {k: v.astype(compute_dtype) for k, v in p.items()}
-            self.depth_params = cast(self.depth_params)
-            self.mask_params = cast(self.mask_params)
-        if mask_dtype is not None:
-            self.mask_params = {
-                k: v.astype(mask_dtype) for k, v in self.mask_params.items()
-            }
-        if flow_dtype is not None:
-            self.flow_params = {
-                k: v.astype(flow_dtype) for k, v in self.flow_params.items()
-            }
-        # Closure-jit over the (static) parameter sets: passing the three
-        # param dicts (~650 leaves) as jit arguments costs ~1.2 ms of host
-        # dispatch per frame (leaf flattening + signature hashing); closing
-        # over them cuts dispatch to ~0.04 ms. Weights are inference-static,
-        # so baking them into the executable is free.
-        self._fwd = jax.jit(
-            lambda prev, cur: perception_forward(
-                self.depth_params, self.flow_params, self.mask_params,
-                prev, cur, height=self.height, width=self.width,
+
+        # Build (init + dtype-cast) all three parameter sets in ONE jitted
+        # program: eager init dispatches ~650 individual RNG/cast ops, each
+        # a serialized RPC on a remote (tunneled) TPU transport — measured
+        # at ~145 s of ctor time; one program makes it a single dispatch.
+        # Provided params ride through as ARGUMENTS (never closure
+        # constants) so the init executable stays small and cacheable.
+        def build(key, provided):
+            d, f, m = provided
+            k1, k2, k3 = jax.random.split(key, 3)
+            d = d if d is not None else init_monodepth2_params(k1)
+            f = f if f is not None else init_liteflownet_params(k2)
+            m = m if m is not None else init_maskrcnn_params(k3, mask_cfg)
+            if compute_dtype is not None:
+                cast = lambda p: {k: v.astype(compute_dtype)
+                                  for k, v in p.items()}
+                d, m = cast(d), cast(m)
+            if mask_dtype is not None:
+                m = {k: v.astype(mask_dtype) for k, v in m.items()}
+            if flow_dtype is not None:
+                f = {k: v.astype(flow_dtype) for k, v in f.items()}
+            return d, f, m
+
+        provided = (depth_params or None, flow_params or None,
+                    mask_params or None)
+        key = jax.random.PRNGKey(seed)
+        if jax.default_backend() == "cpu":
+            d, f, m = build(key, provided)   # CPU: eager is fast
+        else:
+            d, f, m = jax.jit(build)(key, provided)
+        self.depth_params, self.flow_params, self.mask_params = d, f, m
+
+        # The weight sets ride into the jitted forwards as PACKED arguments
+        # (one flat buffer per dtype, utils/packing.py::pack_params): baking
+        # them in as closure constants makes a ~0.5 GB executable that a
+        # tunneled TPU runtime re-loads on every process start (minutes),
+        # while ~650 per-call argument leaves cost ~1.2 ms of dispatch.
+        # Packed buffers give O(1) dispatch leaves AND a small executable.
+        from vido_slam_tpu.utils.packing import pack_params, unpack_params
+
+        self._pp, self._pp_spec = pack_params(
+            (self.depth_params, self.flow_params, self.mask_params))
+        spec = self._pp_spec
+
+        def fwd(bufs, prev, cur):
+            dp, fp, mp = unpack_params(bufs, spec)
+            return perception_forward(
+                dp, fp, mp, prev, cur, height=self.height, width=self.width,
                 mask_cfg=self.mask_cfg, use_pallas=self.use_pallas,
             )
-        )
+
+        self._fwd = jax.jit(fwd)
 
     @classmethod
     def from_pretrained(cls, weights_dir: str, height: int, width: int,
@@ -194,7 +218,7 @@ class PerceptionModel:
                    mask_params=maybe("mask"), **kw)
 
     def __call__(self, prev_bgr, cur_bgr) -> PerceptionOutput:
-        return self._fwd(jnp.asarray(prev_bgr, jnp.float32),
+        return self._fwd(self._pp, jnp.asarray(prev_bgr, jnp.float32),
                          jnp.asarray(cur_bgr, jnp.float32))
 
     def make_slam_forward(self, depth_mode: str, depth_map_factor: float,
@@ -205,16 +229,21 @@ class PerceptionModel:
         per-frame program dispatches — each program boundary costs tunnel
         scheduling on a remote TPU transport."""
         from vido_slam_tpu.geometry.camera import convert_depth
+        from vido_slam_tpu.utils.packing import unpack_params
+
+        spec = self._pp_spec
 
         @jax.jit
-        def fwd(prev_bgr, cur_bgr):
+        def fwd(bufs, prev_bgr, cur_bgr):
+            dp, fp, mp = unpack_params(bufs, spec)
             out = perception_forward(
-                self.depth_params, self.flow_params, self.mask_params,
-                prev_bgr, cur_bgr, height=self.height, width=self.width,
+                dp, fp, mp, prev_bgr, cur_bgr,
+                height=self.height, width=self.width,
                 mask_cfg=self.mask_cfg, use_pallas=self.use_pallas,
             )
             depth = convert_depth(out.depth_u16, depth_mode,
                                   depth_map_factor, bf, scale=scale)
             return depth, out.flow, out.mask.astype(jnp.int32)
 
-        return fwd
+        pp = self._pp
+        return lambda prev_bgr, cur_bgr: fwd(pp, prev_bgr, cur_bgr)

@@ -553,6 +553,7 @@ class Tracker:
         # fused perception+tracking program (attach_perception)
         self._step_frames = None
         self._step_frames2 = None
+        self._pp = None
         self._attached = None
         self._init_perceive = None
         self._pending_q: list = []   # track_frames_pair outputs awaiting record
@@ -1028,9 +1029,19 @@ class Tracker:
         use_fast = self.use_fast
         H, W = self.cam.height, self.cam.width
 
-        def fused(state, prev_bgr, cur_bgr):
+        from vido_slam_tpu.utils.packing import unpack_params
+
+        # perception weights ride as PACKED jit arguments (one buffer per
+        # dtype) rather than closure constants: constants bake a ~0.5 GB
+        # executable that a tunneled TPU runtime re-loads for minutes on
+        # every process start (see PerceptionModel.__init__)
+        pp_spec = model._pp_spec
+        self._pp = model._pp
+
+        def fused(bufs, state, prev_bgr, cur_bgr):
+            dparams, fparams, mparams = unpack_params(bufs, pp_spec)
             out = perception_forward(
-                model.depth_params, model.flow_params, model.mask_params,
+                dparams, fparams, mparams,
                 prev_bgr, cur_bgr, height=H, width=W,
                 mask_cfg=model.mask_cfg, use_pallas=model.use_pallas,
             )
@@ -1052,9 +1063,9 @@ class Tracker:
         # two frames per device program (track_frames_pair): halves the
         # per-program tunnel costs (scheduling + copy turnaround) at the
         # price of one frame of extra latency. Compiled lazily on first use.
-        def fused2(state, f0, f1, f2):
-            state, fA, iA = fused(state, f0, f1)
-            state, fB, iB = fused(state, f1, f2)
+        def fused2(bufs, state, f0, f1, f2):
+            state, fA, iA = fused(bufs, state, f0, f1)
+            state, fB, iB = fused(bufs, state, f1, f2)
             return state, fA, iA, fB, iB
 
         self._step_frames2 = jax.jit(fused2)
@@ -1091,7 +1102,8 @@ class Tracker:
                 jax.ShapeDtypeStruct((H, W), jnp.int32),
                 jax.ShapeDtypeStruct((H, W), jnp.float32),
             )
-        new_state, out_f, out_i = self._step_frames(self.state, prev, cur)
+        new_state, out_f, out_i = self._step_frames(self._pp, self.state,
+                                                    prev, cur)
         self.state = new_state
         return self._post_step((out_f, out_i), float(timestamp), Tcw_gt,
                                t_start)
@@ -1130,7 +1142,8 @@ class Tracker:
                 jax.ShapeDtypeStruct((H, W), jnp.float32),
             )
         t_start = time.perf_counter()
-        new_state, fA, iA, fB, iB = self._step_frames2(self.state, f0, f1, f2)
+        new_state, fA, iA, fB, iB = self._step_frames2(
+            self._pp, self.state, f0, f1, f2)
         self.state = new_state
         # copies ride directly behind the dispatch on the FIFO transport
         for b in (fA, iA, fB, iB):

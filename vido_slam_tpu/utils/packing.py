@@ -94,6 +94,46 @@ def make_spec(struct_tree) -> PackSpec:
     return PackSpec(treedef=treedef, metas=metas)
 
 
+class ParamPackSpec(NamedTuple):
+    treedef: Any
+    metas: Tuple[tuple, ...]   # per leaf: (buf_index, offset, n, shape)
+    keys: Tuple[str, ...]      # dtype names, one per buffer
+
+
+def pack_params(tree) -> Tuple[Tuple[jnp.ndarray, ...], ParamPackSpec]:
+    """Device-side: concatenate all leaves of a (large, inference-static)
+    parameter pytree into ONE flat buffer per dtype.
+
+    Why: closing a jit over ~650 weight arrays bakes them into the
+    executable as literals — a ~0.5 GB serialized program that a remote
+    (tunneled) TPU runtime must re-load on every process start, measured
+    at multiple MINUTES of startup. Passing the dicts as jit arguments
+    instead costs ~1.2 ms of per-call signature flattening. Packing to
+    one-buffer-per-dtype gets both: O(1) dispatch leaves and a small
+    executable, with the weights staying resident on device."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = tuple(sorted({str(l.dtype) for l in leaves}))
+    offs = {k: 0 for k in keys}
+    parts = {k: [] for k in keys}
+    metas = []
+    for l in leaves:
+        k = str(l.dtype)
+        n = int(np.prod(l.shape)) if l.shape else 1
+        metas.append((keys.index(k), offs[k], n, tuple(l.shape)))
+        offs[k] += n
+        parts[k].append(l.reshape(-1))
+    bufs = tuple(jnp.concatenate(parts[k]) for k in keys)
+    return bufs, ParamPackSpec(treedef, tuple(metas), keys)
+
+
+def unpack_params(bufs, spec: ParamPackSpec):
+    """Rebuild the parameter pytree from packed buffers; works both eagerly
+    and under jit (static slices of traced buffer arguments)."""
+    leaves = [bufs[g][o:o + n].reshape(shape)
+              for g, o, n, shape in spec.metas]
+    return jax.tree_util.tree_unflatten(spec.treedef, leaves)
+
+
 def unpack_pytree(fbuf: np.ndarray, ibuf: np.ndarray, spec: PackSpec):
     """Host-side: slice the fetched buffers back into the original pytree
     (numpy arrays with the original shapes/dtypes)."""
