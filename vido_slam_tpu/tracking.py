@@ -1038,13 +1038,8 @@ class Tracker:
         pp_spec = model._pp_spec
         self._pp = model._pp
 
-        def fused(bufs, state, prev_bgr, cur_bgr):
-            dparams, fparams, mparams = unpack_params(bufs, pp_spec)
-            out = perception_forward(
-                dparams, fparams, mparams,
-                prev_bgr, cur_bgr, height=H, width=W,
-                mask_cfg=model.mask_cfg, use_pallas=model.use_pallas,
-            )
+        def track_percept(state, out, cur_bgr):
+            """Tracking step from one PerceptionOutput (device-side)."""
             depth = convert_depth(out.depth_u16, depth_mode, dm_factor, bf_,
                                   scale=scale)
             if use_fast:
@@ -1057,12 +1052,30 @@ class Tracker:
             fbuf, ibuf = pack_pytree(outs)
             return new_state, fbuf, ibuf
 
+        def fused(bufs, state, prev_bgr, cur_bgr):
+            dparams, fparams, mparams = unpack_params(bufs, pp_spec)
+            out = perception_forward(
+                dparams, fparams, mparams,
+                prev_bgr, cur_bgr, height=H, width=W,
+                mask_cfg=model.mask_cfg, use_pallas=model.use_pallas,
+            )
+            return track_percept(state, out, cur_bgr)
+
         self._attached = (model, depth_mode, dm_factor, bf_, scale)
         self._step_frames = jax.jit(fused)
 
         # two frames per device program (track_frames_pair): halves the
         # per-program tunnel costs (scheduling + copy turnaround) at the
         # price of one frame of extra latency. Compiled lazily on first use.
+        #
+        # Batching the pair's perception at N=2 (perception_forward_pair)
+        # was MEASURED SLOWER end-to-end on v5e: 36.6 FPS with the detector
+        # vmapped (its NMS/LM-style while-loops run both images to the max
+        # trip count and the banded ROIAlign matmuls batch badly), 42.3 FPS
+        # with only the conv-only depth/flow nets batched — vs 43.3 FPS for
+        # the plain sequential form below. XLA's scheduler already hides
+        # most per-op latency inside the big fused program, so batch-2
+        # mainly adds layout/stacking overhead here.
         def fused2(bufs, state, f0, f1, f2):
             state, fA, iA = fused(bufs, state, f0, f1)
             state, fB, iB = fused(bufs, state, f1, f2)
