@@ -2,6 +2,9 @@
 """Profile the FULL bench pipeline (fused perception + tracking) under
 jax.profiler and aggregate device op times, attributing each op to the
 XLA program (jit function) it belongs to. Usage: python tools/profile_e2e.py
+[--pair] — with --pair, profiles the bench's actual configuration (ONE
+fused perception+tracking program per frame, two frames per dispatch via
+track_frames_pair) instead of the separate-programs path.
 """
 import glob
 import gzip
@@ -44,27 +47,45 @@ def main():
     rng = np.random.RandomState(0)
     n_warm, n_prof = 3, 4
     frames = [jnp.asarray((rng.rand(H, W, 3) * 255).astype(np.float32))
-              for _ in range(n_warm + n_prof + 2)]
-    convert = jax.jit(lambda d: convert_depth(
-        d, "kaist", cfg.system.depth_map_factor, cfg.camera.bf, scale=1.0))
-
-    def perceive(prev_img, cur_img):
-        out = perception(prev_img, cur_img)
-        return (convert(out.depth_u16), out.flow, out.mask.astype(jnp.int32))
-
-    for i in range(n_warm):
-        tracker.track(*perceive(frames[i], frames[i + 1]))
-    jax.block_until_ready(tracker.state.Tcw)
-
+              for _ in range(2 * (n_warm + n_prof) + 3)]
+    pair = "--pair" in sys.argv
     trace_dir = "/tmp/vido_trace_e2e"
     os.system(f"rm -rf {trace_dir}")
-    with jax.profiler.trace(trace_dir):
-        pending = perceive(frames[n_warm], frames[n_warm + 1])
-        for i in range(n_warm, n_warm + n_prof):
-            nxt = perceive(frames[i + 1], frames[i + 2])
-            tracker.track(*pending)
-            pending = nxt
+    if pair:
+        # the bench path: ONE program per frame pair (fused perception +
+        # tracking), wall-clock floor = device busy + per-dispatch tunnel
+        tracker.attach_perception(perception, "kaist",
+                                  cfg.system.depth_map_factor, cfg.camera.bf)
+        tracker.track_frames_pair(frames[0], frames[1], frames[2])
+        for i in range(1, 2 * n_warm, 2):
+            tracker.track_frames_pair(frames[i], frames[i + 1], frames[i + 2])
         jax.block_until_ready(tracker.state.Tcw)
+        start = 2 * n_warm + 1
+        with jax.profiler.trace(trace_dir):
+            for i in range(start, start + n_prof, 2):
+                tracker.track_frames_pair(frames[i], frames[i + 1],
+                                          frames[i + 2])
+            jax.block_until_ready(tracker.state.Tcw)
+    else:
+        convert = jax.jit(lambda d: convert_depth(
+            d, "kaist", cfg.system.depth_map_factor, cfg.camera.bf, scale=1.0))
+
+        def perceive(prev_img, cur_img):
+            out = perception(prev_img, cur_img)
+            return (convert(out.depth_u16), out.flow,
+                    out.mask.astype(jnp.int32))
+
+        for i in range(n_warm):
+            tracker.track(*perceive(frames[i], frames[i + 1]))
+        jax.block_until_ready(tracker.state.Tcw)
+
+        with jax.profiler.trace(trace_dir):
+            pending = perceive(frames[n_warm], frames[n_warm + 1])
+            for i in range(n_warm, n_warm + n_prof):
+                nxt = perceive(frames[i + 1], frames[i + 2])
+                tracker.track(*pending)
+                pending = nxt
+            jax.block_until_ready(tracker.state.Tcw)
 
     paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     ev = json.load(gzip.open(paths[0]))["traceEvents"]
