@@ -21,9 +21,11 @@ def grid_sample_nhwc(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nd
     four per-corner point gathers: TPU gather cost is dominated by the
     per-op index-list overhead, and a padded-patch gather fetches all four
     taps for the price of one op (measured -25% per warp at LiteFlowNet's
-    level-2 shapes, bit-exact). Out-of-range corners are zeroed by the same
-    per-corner in-bounds masks as before; the clamp of the padded start
-    index only ever exposes values that those masks discard.
+    level-2 shapes, bit-exact). Out-of-range corners are zeroed by the
+    per-corner in-bounds masks below; in-bounds gather starts are guaranteed
+    solely by mode=GatherScatterMode.CLIP, which clamps each start index to
+    [0, padded_dim - slice_size] = [0, H] / [0, W] (values a clamped start
+    exposes are discarded by those same masks).
     """
     N, H, W, C = img.shape
     x0 = jnp.floor(x)
@@ -37,8 +39,8 @@ def grid_sample_nhwc(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nd
     Hp, Wp = x.shape[1], x.shape[2]
     P = Hp * Wp
     starts = jnp.stack([
-        jnp.clip(y0i + 1, 0, H).reshape(N, P),
-        jnp.clip(x0i + 1, 0, W).reshape(N, P),
+        (y0i + 1).reshape(N, P),
+        (x0i + 1).reshape(N, P),
     ], axis=-1)
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3), collapsed_slice_dims=(),
