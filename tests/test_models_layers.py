@@ -45,6 +45,23 @@ class TestConv:
                      padding=1, groups=4)
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
+    def test_grouped_resnext_supergroups(self):
+        """ResNeXt-32x8d-shaped grouped convs go through the block-diagonal
+        supergroup path (layers._grouped_conv_supergroups); parity vs torch
+        must hold through it, including stride and bias."""
+        torch.manual_seed(3)
+        for cpg, stride in [(8, 1), (16, 2), (32, 1)]:
+            cin = 32 * cpg
+            m = torch.nn.Conv2d(cin, cin, 3, stride=stride, padding=1,
+                                groups=32)
+            x = torch.randn(1, cin, 10, 12)
+            with torch.no_grad():
+                want = to_nhwc(m(x))
+            p = convert_state_dict(m.state_dict())
+            got = conv2d(jnp.asarray(to_nhwc(x)), p["weight"], p["bias"],
+                         stride=stride, padding=1, groups=32)
+            np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
     def test_rect_kernel(self):
         torch.manual_seed(2)
         m = torch.nn.Conv2d(4, 6, (5, 1), padding=(2, 0))

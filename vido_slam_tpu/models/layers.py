@@ -41,6 +41,13 @@ def conv2d(
         # mixed-precision graphs (bf16 params, f32 activations from
         # precision-sensitive ops like ROIAlign) follow the weights' dtype
         x = x.astype(w.dtype)
+    cin_pg = w.shape[2]
+    if 1 < groups and 4 <= cin_pg < 128:
+        out = _grouped_conv_supergroups(x, w, stride, padding, groups,
+                                        dilation)
+        if b is not None:
+            out = out + b
+        return out
     out = lax.conv_general_dilated(
         x,
         w,
@@ -53,6 +60,52 @@ def conv2d(
     if b is not None:
         out = out + b
     return out
+
+
+def _grouped_conv_supergroups(x, w, stride, padding, groups: int,
+                              dilation: int) -> jnp.ndarray:
+    """Narrow grouped conv as per-supergroup DENSE convs with block-diagonal
+    kernels. Numerically equal to feature_group_count=groups (the off-block
+    kernel entries are exact zeros).
+
+    Narrow grouped convs (ResNeXt-32x8d: 32 groups of 8..64 channels) are
+    catastrophic on the MXU: XLA lowers them with the per-group width as the
+    minor dim, so 8 of 128 lanes do work (measured 9.9 ms for one 2-GFLOP
+    stage-1 conv at 1088x800 — 6% MFU — plus ~2 ms of layout copies around
+    it). Merging m groups into "supergroups" of >=128 channels and running
+    each as a dense conv over a channel SLICE trades m x redundant FLOPs
+    (zeros off the block diagonal) for full MXU lanes. Measured on the whole
+    X-101 1088x800 forward (v5e): 92 ms grouped -> 34 ms block-diag with
+    feature_group_count=G/m -> 16.7 ms in this slice+dense+concat form at
+    43% MFU (XLA's grouped path stays slow even at 128-wide groups, so the
+    groups are eliminated entirely)."""
+    kh, kw, cin_pg, cout = w.shape
+    cout_pg = cout // groups
+    m = min(groups, max(1, 128 // min(cin_pg, cout_pg)))
+    while groups % m:
+        m -= 1
+    g_eff = groups // m
+    pads = [(padding[0], padding[0]), (padding[1], padding[1])]
+    if m <= 1:
+        return lax.conv_general_dilated(
+            x, w, stride, pads, rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups)
+    w5 = w.reshape(kh, kw, cin_pg, groups, cout_pg)
+    # (m, 1, m, 1) one-hot: output block j reads only input block j
+    jj = jnp.arange(m)[:, None, None, None]
+    gg = jnp.arange(m)[None, None, :, None]
+    sel = (gg == jj).astype(w.dtype)
+    outs = []
+    for s in range(g_eff):
+        blk = w5[:, :, :, s * m:(s + 1) * m, :]  # (kh,kw,cin_pg,m,cout_pg)
+        wd = (blk[:, :, None, :, :, :] * sel).reshape(
+            kh, kw, m * cin_pg, m * cout_pg)
+        xs = x[..., s * m * cin_pg:(s + 1) * m * cin_pg]
+        outs.append(lax.conv_general_dilated(
+            xs, wd, stride, pads, rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    return outs[0] if g_eff == 1 else jnp.concatenate(outs, axis=-1)
 
 
 def deconv_grouped(
