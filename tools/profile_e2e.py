@@ -124,6 +124,16 @@ def main():
     busy /= 1000.0
     print(f"device BUSY: {busy:.1f} ms over {n_prof} frames "
           f"({busy/n_prof:.1f} ms/frame)")
+    if pair:
+        # MFU = compiled-HLO FLOPs / device-busy time / chip peak
+        # (utils/mfu.py; wall clock is unusable on the tunneled transport)
+        from vido_slam_tpu.utils.mfu import compiled_flops, peak_flops
+        args = (tracker._pp, tracker.state, frames[0], frames[1], frames[2])
+        fl = compiled_flops(tracker._step_frames2, *args) / 2.0  # per frame
+        peak = peak_flops()
+        mfu = fl / (busy / n_prof / 1000.0) / peak if busy else 0.0
+        print(f"MFU: {mfu:.4f}  ({fl/1e9:.1f} GFLOP/frame @ "
+              f"{peak/1e12:.0f} TFLOP/s peak)")
     print("\n== by program ==")
     for k, ms in sorted(prog.items(), key=lambda kv: -kv[1])[:20]:
         print(f"{ms/n_prof:9.3f} ms/frame  {k[:100]}")
