@@ -216,6 +216,124 @@ def simple_scene(
     return SyntheticScene(cam=cam, ground_y=1.5, boxes=(box,))
 
 
+def render_rgb(
+    scene: SyntheticScene,
+    Tcw: jnp.ndarray,
+    box_poses: Sequence[jnp.ndarray],
+) -> jnp.ndarray:
+    """Render an (H, W, 3) float32 RGB frame in [0, 255] by ray casting:
+    procedurally textured ground plane (road + lane markings + world-space
+    noise), shaded boxes, sky gradient. All textures are functions of WORLD
+    coordinates, so a moving camera/boxes produce temporally consistent
+    image motion — realistic content for the perception nets (the VERDICT-r2
+    bench-realism item: noise input exercises NMS/mask occupancy and the
+    flow/depth nets on degenerate content)."""
+    cam = scene.cam
+    dirs = _ray_dirs(cam)
+    Twc = inverse_se3(Tcw)
+    Rw, tw = Twc[:3, :3], Twc[:3, 3]
+
+    depth = _plane_depth(Tcw, dirs, scene.ground_y)
+    hit_label = jnp.zeros(depth.shape, jnp.int32)  # 0 ground, i+1 box i
+    for i, (box, T_ow) in enumerate(zip(scene.boxes, box_poses)):
+        zb = _box_depth(T_ow, Tcw, dirs, box.half_extent)
+        closer = zb < depth
+        depth = jnp.where(closer, zb, depth)
+        hit_label = jnp.where(closer, i + 1, hit_label)
+
+    # world-space hit points (for texturing)
+    pc = dirs * jnp.where(jnp.isinf(depth), 1.0, depth)[..., None]
+    pw = jnp.einsum("ij,hwj->hwi", Rw, pc) + tw
+
+    # ground: asphalt gray + checker variation + dashed center line at x=0
+    gx, gz = pw[..., 0], pw[..., 2]
+    checker = (jnp.floor(gx * 0.5) + jnp.floor(gz * 0.5)) % 2.0
+    noise = 0.5 + 0.25 * (jnp.sin(gx * 7.3) * jnp.cos(gz * 5.1)
+                          + jnp.sin(gx * 2.9 + gz * 3.7))
+    base = 0.32 + 0.08 * checker + 0.06 * noise
+    lane = (jnp.abs(gx) < 0.15) & ((jnp.floor(gz * 0.8) % 2.0) < 1.0)
+    ground = jnp.stack([
+        jnp.where(lane, 0.85, base),
+        jnp.where(lane, 0.80, base),
+        jnp.where(lane, 0.30, base * 1.05),
+    ], axis=-1)
+
+    # boxes: per-instance base color, shaded by which face the ray entered
+    # (approximated by the dominant axis of the object-frame offset)
+    color = ground
+    palette = jnp.asarray([
+        [0.75, 0.15, 0.12], [0.12, 0.35, 0.75], [0.15, 0.6, 0.2],
+        [0.8, 0.55, 0.1], [0.5, 0.2, 0.6], [0.1, 0.6, 0.6],
+    ], jnp.float32)
+    for i, (box, T_ow) in enumerate(zip(scene.boxes, box_poses)):
+        T_wo_inv = inverse_se3(T_ow)
+        po = jnp.einsum("ij,hwj->hwi", T_wo_inv[:3, :3], pw) + T_wo_inv[:3, 3]
+        a = jnp.abs(po / jnp.maximum(box.half_extent, 1e-6))
+        face = jnp.argmax(a, axis=-1)               # 0 x, 1 y, 2 z
+        shade = jnp.where(face == 1, 1.0, jnp.where(face == 0, 0.75, 0.55))
+        stripe = 0.9 + 0.1 * jnp.sign(jnp.sin(po[..., 0] * 6.0))
+        c = palette[i % palette.shape[0]] * (shade * stripe)[..., None]
+        color = jnp.where((hit_label == i + 1)[..., None], c, color)
+
+    # sky where no surface: vertical gradient
+    vv = jax.lax.broadcasted_iota(jnp.float32, depth.shape, 0)
+    tsky = vv / depth.shape[0]
+    sky = jnp.stack([0.45 + 0.2 * tsky, 0.6 + 0.15 * tsky,
+                     0.85 - 0.05 * tsky], axis=-1)
+    color = jnp.where(jnp.isinf(depth)[..., None], sky, color)
+    return jnp.clip(color, 0.0, 1.0) * 255.0
+
+
+def driving_clip(
+    height: int = 192,
+    width: int = 640,
+    n_frames: int = 24,
+    fx: float = 408.2,
+    fy: float = 408.7,
+) -> "np.ndarray":
+    """Deterministic synthetic driving clip (n_frames, H, W, 3) float32 RGB
+    0..255: camera driving forward over a textured road with three moving
+    vehicles-as-boxes. The default realistic bench input (bench.py) — flow,
+    depth and detector occupancy run on coherent moving content instead of
+    i.i.d. noise."""
+    cam = Camera.create(fx=fx, fy=fy, cx=width / 2, cy=height * 0.55,
+                        width=width, height=height, bf=193.8)
+
+    def fwd(v):
+        return make_se3(jnp.eye(3), jnp.asarray([0.0, 0.0, v], jnp.float32))
+
+    boxes = (
+        Box(half_extent=jnp.asarray([0.9, 0.7, 2.0]), label=1,
+            pose0=make_se3(jnp.eye(3), jnp.asarray([-2.5, 0.8, 14.0])),
+            motion=make_se3(jnp.eye(3), jnp.asarray([0.0, 0.0, 0.5]))),
+        Box(half_extent=jnp.asarray([0.9, 0.7, 2.0]), label=2,
+            pose0=make_se3(jnp.eye(3), jnp.asarray([2.5, 0.8, 30.0])),
+            motion=make_se3(jnp.eye(3), jnp.asarray([0.0, 0.0, -0.9]))),
+        Box(half_extent=jnp.asarray([1.2, 1.0, 2.6]), label=3,
+            pose0=make_se3(jnp.eye(3), jnp.asarray([0.0, 0.6, 45.0])),
+            motion=make_se3(jnp.eye(3), jnp.asarray([0.02, 0.0, 0.3]))),
+    )
+    scene = SyntheticScene(cam=cam, ground_y=1.5, boxes=boxes)
+
+    frames = []
+    Tcw = np.eye(4, dtype=np.float64)
+    poses = [np.asarray(b.pose0, np.float64) for b in boxes]
+    step = np.asarray(fwd(-0.6), np.float64)  # camera moves +z in world
+    # render on the CPU backend (one jitted program per frame): eager
+    # small-op rendering is minutes-slow, and on a tunneled TPU transport
+    # it would be hundreds of serialized RPCs per frame
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        render = jax.jit(lambda T, ps: render_rgb(scene, T, ps))
+        for _ in range(n_frames):
+            frames.append(np.asarray(render(
+                jnp.asarray(Tcw, jnp.float32),
+                tuple(jnp.asarray(p, jnp.float32) for p in poses))))
+            Tcw = step @ Tcw
+            poses = [np.asarray(b.motion, np.float64) @ p
+                     for b, p in zip(boxes, poses)]
+    return np.stack(frames).astype(np.float32)
+
+
 def depth_noise(rng: "np.random.RandomState", z: "np.ndarray") -> "np.ndarray":
     """The reference's optional measurement-noise model for depth readings
     (Frame.cc:714,841,868): z += N(0, sigma) with sigma = z^2/(725*0.5)*0.15.
