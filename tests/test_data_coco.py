@@ -100,6 +100,86 @@ class TestCocoDataset:
         assert b["boxes"].shape == (3, 8, 4)
 
 
+class TestKeypointDataPath:
+    """Keypoint annotations through loader -> head -> OKS eval (reference
+    structures/keypoint.py + roi_heads/keypoint_head + COCOeval kpts)."""
+
+    @pytest.fixture(scope="class")
+    def kp_dir(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("coco_kp")
+        rng = np.random.RandomState(1)
+        h, w = 100, 140
+        np.save(os.path.join(root, "im.npy"),
+                (rng.rand(h, w, 3) * 255).astype(np.float32))
+        kps = []
+        for k in range(17):
+            kps += [20.0 + 4 * k, 30.0 + (k % 5), 2]
+        ann = {
+            "images": [{"id": 1, "file_name": "im.npy",
+                        "height": h, "width": w}],
+            "annotations": [{
+                "id": 1, "image_id": 1, "category_id": 1,
+                "bbox": [15, 20, 80, 30], "iscrowd": 0,
+                "keypoints": kps, "num_keypoints": 17}],
+            "categories": [{"id": 1, "name": "person"}],
+        }
+        ann_file = os.path.join(root, "kp.json")
+        with open(ann_file, "w") as f:
+            json.dump(ann, f)
+        return str(root), ann_file
+
+    def test_loader_scales_keypoints(self, kp_dir):
+        root, ann_file = kp_dir
+        ds = CocoDetectionDataset(ann_file, root, input_hw=(200, 280),
+                                  max_boxes=4, subtract_mean=False)
+        s = ds[0]
+        assert s.keypoints is not None and s.keypoints.shape == (4, 17, 3)
+        assert s.scale == pytest.approx(2.0)
+        np.testing.assert_allclose(s.keypoints[0, 0], [40.0, 60.0, 2.0])
+        # padded slots stay zero (v == 0 -> unlabeled)
+        assert (s.keypoints[1:] == 0).all()
+        b = ds.batch([0])
+        assert b["keypoints"].shape == (1, 4, 17, 3)
+
+    def test_head_to_oks_eval(self, kp_dir):
+        """Head inference on the GT box + OKS eval wiring: heatmap peaks
+        planted at the GT keypoints score mAP 1.0 through
+        compute_map(iou_type='keypoints')."""
+        import jax.numpy as jnp
+
+        from vido_slam_tpu.data.coco_eval import compute_map
+        from vido_slam_tpu.models.maskrcnn.keypoint_head import (
+            HEATMAP, keypoints_from_heatmaps)
+
+        root, ann_file = kp_dir
+        ds = CocoDetectionDataset(ann_file, root, input_hw=(200, 280),
+                                  max_boxes=4, subtract_mean=False)
+        s = ds[0]
+        box = s.boxes[0]
+        # plant a peak per keypoint at the GT location inside the box grid
+        x0, y0, x1, y1 = box
+        logits = np.full((1, HEATMAP, HEATMAP, 17), -5.0, np.float32)
+        for k in range(17):
+            gx, gy = s.keypoints[0, k, :2]
+            cx = int((gx - x0) / max(x1 - x0, 1e-6) * HEATMAP)
+            cy = int((gy - y0) / max(y1 - y0, 1e-6) * HEATMAP)
+            logits[0, min(cy, HEATMAP - 1), min(cx, HEATMAP - 1), k] = 5.0
+        out = keypoints_from_heatmaps(jnp.asarray(logits),
+                                      jnp.asarray(box[None]))
+        xy = np.asarray(out.xy)[0]
+        # cell-center quantisation: within one heatmap cell of the GT
+        cell = max((x1 - x0) / HEATMAP, (y1 - y0) / HEATMAP)
+        assert np.max(np.abs(xy - s.keypoints[0, :, :2])) <= cell
+        pred_kp = np.concatenate([xy, np.full((17, 1), 2.0)], axis=1)
+        r = compute_map(
+            [{"boxes": box[None], "scores": np.array([0.9]),
+              "labels": np.array([1]), "keypoints": pred_kp[None]}],
+            [{"boxes": box[None], "labels": np.array([1]),
+              "keypoints": s.keypoints[:1]}],
+            iou_type="keypoints")
+        assert r["mAP"] == 1.0
+
+
 class TestSamplers:
     def test_shard_epoch_disjoint_complete(self):
         shards = [shard_epoch(10, 4, r, shuffle=True, seed=3)

@@ -41,6 +41,10 @@ class DetectionSample(NamedTuple):
     scale: float           # canvas = original * scale
     orig_hw: Tuple[int, int]
     masks: Optional[np.ndarray] = None  # (max_boxes, Hm, Wm) binary
+    # (max_boxes, 17, 3) [x, y, v] in CANVAS coords; v = COCO visibility
+    # (reference structures/keypoint.py PersonKeypoints); None when the
+    # json carries no keypoint annotations
+    keypoints: Optional[np.ndarray] = None
 
 
 def rasterize_polygons(
@@ -201,10 +205,19 @@ class CocoDetectionDataset:
             np.zeros((self.max_boxes,) + tuple(self.mask_hw), np.float32)
             if self.mask_hw is not None else None
         )
+        has_kp = any("keypoints" in a for a in anno)
+        keypoints = (np.zeros((self.max_boxes, 17, 3), np.float32)
+                     if has_kp else None)
         for i, obj in enumerate(anno[: self.max_boxes]):
             boxes[i] = np.asarray(_xywh_to_xyxy(obj["bbox"]), np.float32) * scale
             labels[i] = self.json_category_id_to_contiguous_id[obj["category_id"]]
             valid[i] = True
+            if keypoints is not None and obj.get("keypoints"):
+                kp = np.asarray(obj["keypoints"], np.float32).reshape(-1, 3)
+                k = min(len(kp), 17)
+                # scale x/y into canvas coords; keep COCO visibility flags
+                keypoints[i, :k, :2] = kp[:k, :2] * scale
+                keypoints[i, :k, 2] = kp[:k, 2]
             if masks is not None:
                 # image-space masks at mask_hw covering the CANVAS extent
                 # (the canvas is original*scale placed at the origin)
@@ -224,6 +237,7 @@ class CocoDetectionDataset:
         return DetectionSample(
             image=canvas, boxes=boxes, labels=labels, valid=valid,
             image_id=image_id, scale=scale, orig_hw=(H0, W0), masks=masks,
+            keypoints=keypoints,
         )
 
     def batch(self, indices) -> Dict[str, np.ndarray]:
@@ -239,4 +253,6 @@ class CocoDetectionDataset:
         }
         if self.mask_hw is not None:
             out["masks"] = np.stack([s.masks for s in samples])
+        if all(s.keypoints is not None for s in samples):
+            out["keypoints"] = np.stack([s.keypoints for s in samples])
         return out
