@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--output", default="results/")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--online", action="store_true")
+    ap.add_argument("--animate", action="store_true",
+                    help="write an animated 3D scene recording "
+                    "(scene_3d.gif) alongside the result files — the "
+                    "headless counterpart of the live Pangolin viewer")
     args = ap.parse_args()
 
     from vido_slam_tpu.config import load_config
@@ -144,6 +148,12 @@ def main():
 
     os.makedirs(args.output, exist_ok=True)
     system.SaveResultsIJRR2020(os.path.join(args.output, ""))
+    if args.animate and system.tracker is not None \
+            and len(system.tracker.map) > 1:
+        from vido_slam_tpu.viz import render_scene_animation
+        gif = os.path.join(args.output, "scene_3d.gif")
+        n = render_scene_animation(system.tracker.map, gif)
+        print(f"wrote {gif} ({n} frames)")
     print("done.")
 
 

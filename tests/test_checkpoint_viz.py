@@ -109,6 +109,21 @@ class TestViz:
         assert out.max() > 0  # features drawn
         assert os.path.exists(p5) and os.path.getsize(p5) > 500
 
+    def test_scene_animation(self, tmp_path):
+        """Animated 3D scene recording — the headless VidoViewer surface
+        (VidoViewer.cc:28-37 per-frame SetCurrentPose/SetObjects)."""
+        from vido_slam_tpu.viz import render_scene_animation
+
+        _, seq, tracker = run_short_sequence(n_frames=5)
+        gif = str(tmp_path / "scene.gif")
+        n = render_scene_animation(tracker.map, gif, stride=2, fps=5,
+                                   figsize=3.0, dpi=60)
+        assert n == 3  # frames 1, 3, 5
+        assert os.path.exists(gif) and os.path.getsize(gif) > 2000
+        from PIL import Image
+        with Image.open(gif) as im:
+            assert getattr(im, "n_frames", 1) == n
+
     def test_object_motion_error_plot(self, tmp_path):
         """Per-object PlotMetricError curves: exact GT motions must score
         ~zero; a perturbed GT shows up in the means."""

@@ -164,19 +164,15 @@ def save_speed_plot(slam_map: SlamMap, path: str) -> None:
     plt.close(fig)
 
 
-def plot_scene_3d(slam_map: SlamMap, path: str,
-                  max_points: int = 2000, box_half: float = 1.2) -> None:
-    """Headless counterpart of the Pangolin 3D viewer
-    (src/viewer/VidoViewer.cc DrawTrajectory/DrawObjects/DrawMapPoints):
-    camera trajectory, static map points of the last frame, per-track
-    object centroids with wireframe 3D boxes."""
-    plt = _mpl()
-    fig = plt.figure(figsize=(9, 9))
-    ax = fig.add_subplot(111, projection="3d")
-    c = camera_centers(slam_map.poses)
+def _draw_scene(ax, slam_map: SlamMap, upto: Optional[int] = None,
+                max_points: int = 2000, box_half: float = 1.2) -> None:
+    """Draw trajectory + map points + object boxes up to frame `upto`
+    (exclusive; None = all frames) onto a 3D axes."""
+    n = len(slam_map.frames) if upto is None else upto
+    c = camera_centers(slam_map.poses[:n])
     ax.plot(c[:, 0], c[:, 2], -c[:, 1], "b-", lw=2, label="camera")
 
-    last = slam_map.frames[-1]
+    last = slam_map.frames[n - 1]
     pts = last.stat_3d[last.stat_valid][:max_points]
     if len(pts):
         ax.scatter(pts[:, 0], pts[:, 2], -pts[:, 1], s=1, c="gray",
@@ -186,7 +182,7 @@ def plot_scene_3d(slam_map: SlamMap, path: str,
              (6, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
     for tid in slam_map.track_ids():
         cents = []
-        for f in slam_map.frames:
+        for f in slam_map.frames[:n]:
             for ob in f.objects:
                 if ob.track_id == tid and ob.status:
                     cents.append(np.asarray(ob.centroid))
@@ -209,9 +205,52 @@ def plot_scene_3d(slam_map: SlamMap, path: str,
     ax.set_ylabel("z [m]")
     ax.set_zlabel("-y [m]")
     ax.legend(loc="upper left", fontsize=8)
+
+
+def plot_scene_3d(slam_map: SlamMap, path: str,
+                  max_points: int = 2000, box_half: float = 1.2) -> None:
+    """Headless counterpart of the Pangolin 3D viewer
+    (src/viewer/VidoViewer.cc DrawTrajectory/DrawObjects/DrawMapPoints):
+    camera trajectory, static map points of the last frame, per-track
+    object centroids with wireframe 3D boxes."""
+    plt = _mpl()
+    fig = plt.figure(figsize=(9, 9))
+    ax = fig.add_subplot(111, projection="3d")
+    _draw_scene(ax, slam_map, None, max_points, box_half)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+def render_scene_animation(slam_map: SlamMap, path: str, *,
+                           stride: int = 1, fps: int = 10,
+                           max_points: int = 2000, box_half: float = 1.2,
+                           figsize: float = 6.0, dpi: int = 80) -> int:
+    """Animated 3D scene over the sequence — the VidoViewer's continuously
+    evolving render (VidoViewer.cc:28-37 SetCurrentPose/SetMapPoints/
+    SetObjects per frame) as a headless GIF recording. Each animation frame
+    draws the trajectory, the map points and the object boxes as of that
+    SLAM frame. Returns the number of rendered frames."""
+    plt = _mpl()
+    from PIL import Image
+
+    n = len(slam_map.frames)
+    frames = []
+    fig = plt.figure(figsize=(figsize, figsize))
+    for i in range(1, n + 1, max(stride, 1)):
+        fig.clf()
+        ax = fig.add_subplot(111, projection="3d")
+        _draw_scene(ax, slam_map, i, max_points, box_half)
+        ax.set_title(f"frame {i - 1}")
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        frames.append(Image.fromarray(buf.copy()))
+    plt.close(fig)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    frames[0].save(
+        path, save_all=True, append_images=frames[1:],
+        duration=int(1000 / max(fps, 1)), loop=0)
+    return len(frames)
 
 
 def flow_to_rgb(flow: np.ndarray, normalize: bool = True) -> np.ndarray:
