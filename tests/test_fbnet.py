@@ -97,4 +97,39 @@ class TestFBNet:
         assert bool(jnp.all(jnp.isfinite(det.boxes)))
         assert bool(jnp.all((det.labels >= 0) & (det.labels < 81)))
 
+
+class TestArchRegistry:
+    """The full MODEL_ARCH family (fbnet_modeldef.py:11-218 +
+    MODEL_ARCH_CHAM): every registered arch initialises and its trunk
+    produces the arch's stride-16 channel width; the kernel-size mixes
+    (cham ir_k5/ir_k7) land in the stored depthwise weights."""
+
+    def test_all_archs_trunk(self):
+        from vido_slam_tpu.models.maskrcnn.fbnet import MODEL_ARCH
+
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 80, 3))
+        for name, a in MODEL_ARCH.items():
+            p = init_fbnet_params(jax.random.PRNGKey(0), arch=name)
+            f = fbnet_trunk(p, x, arch=name)
+            assert f.shape == (1, 4, 5, a.backbone[-1][-1][1]), name
+
+    def test_cham_kernel_sizes(self):
+        from vido_slam_tpu.models.maskrcnn.fbnet import MODEL_ARCH
+
+        p = init_fbnet_params(jax.random.PRNGKey(0), arch="cham_v1a")
+        # stage 1 is ir_k7 x 2, stage 3 starts with ir_k5 x 7
+        assert p["backbone.stage1.0.dw.conv.weight"].shape[0] == 7
+        assert p["backbone.stage3.0.dw.conv.weight"].shape[0] == 5
+        assert p["backbone.stage3.7.dw.conv.weight"].shape[0] == 3
+
+    def test_mobilenet_v2_no_rpn_stage(self):
+        """mobilenet_v2 registers no rpn stage — the RPN head runs on the
+        trunk directly (block_cfg has no 'rpn' key)."""
+        p = init_fbnet_params(jax.random.PRNGKey(0), arch="mobilenet_v2")
+        assert not any(k.startswith("rpn.stage") for k in p)
+        img = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 80, 3)) * 255
+        det = fbnet_inference(p, img, 64, 80, arch="mobilenet_v2")
+        assert det.boxes.shape == (100, 4)
+        assert bool(jnp.all(jnp.isfinite(det.boxes)))
+
 pytestmark = pytest.mark.slow  # heavy jit: full tier only
