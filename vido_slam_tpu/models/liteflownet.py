@@ -32,6 +32,7 @@ from vido_slam_tpu.models.layers import (
     unfold_channels,
 )
 from vido_slam_tpu.ops.correlation import correlation, correlation_pallas
+from vido_slam_tpu.ops.regularize import dist_weighted_flow_pallas
 from vido_slam_tpu.ops.warp import backwarp, resize_bilinear
 
 # per-level constants (index by level 2..6): layers.py
@@ -116,7 +117,8 @@ def subpixel_forward(p: Params, mi: int, level: int, f1, f2, feat1, feat2, flow)
     return flow + delta
 
 
-def regularization_forward(p: Params, mi: int, level: int, f1, f2, feat1, feat2, flow):
+def regularization_forward(p: Params, mi: int, level: int, f1, f2, feat1,
+                           feat2, flow, use_pallas: bool = False):
     pre = f"netRegularization.{mi}"
     k = MAIN_KERNEL[level]      # unfold window
     r = MAIN_PAD[level]
@@ -143,6 +145,17 @@ def regularization_forward(p: Params, mi: int, level: int, f1, f2, feat1, feat2,
     else:
         d = conv2d(x, p[f"{pre}.netDist.0.weight"], p[f"{pre}.netDist.0.bias"],
                    padding=r)
+    wx = p[f"{pre}.netScaleX.weight"].reshape(-1)   # (1,1,K,1) 1x1 conv
+    bx = p[f"{pre}.netScaleX.bias"].reshape(())
+    wy = p[f"{pre}.netScaleY.weight"].reshape(-1)
+    by = p[f"{pre}.netScaleY.bias"].reshape(())
+    if use_pallas:
+        # fused exp-normalize + unfold + weighted window-sum: one kernel
+        # instead of ~12 ops with two (H, W, k^2) unfold materialisations
+        # (ops/regularize.py)
+        sx, sy = dist_weighted_flow_pallas(
+            d, flow[..., 0], flow[..., 1], wx, bx, wy, by, k)
+        return jnp.stack([sx, sy], axis=-1)
     d = -(d * d)
     d = jnp.exp(d - jnp.max(d, axis=-1, keepdims=True))
     divisor = 1.0 / jnp.sum(d, axis=-1, keepdims=True)
@@ -191,7 +204,8 @@ def liteflownet_forward(
         a = (im1[li], im2[li], feats1[li], feats2[li])
         flow = matching_forward(params, mi, level, *a, flow, use_pallas)
         flow = subpixel_forward(params, mi, level, *a, flow)
-        flow = regularization_forward(params, mi, level, *a, flow)
+        flow = regularization_forward(params, mi, level, *a, flow,
+                                      use_pallas=use_pallas)
     return flow.astype(jnp.float32) * 20.0
 
 
