@@ -7,9 +7,11 @@ Baseline: the north-star 30 FPS end-to-end (BASELINE.md; the reference
 publishes no e2e numbers — its Mask R-CNN X-101 alone is 0.217 s/im on
 V100, R-50 0.130 s/im, MODEL_ZOO.md:26-28).
 
-Two detector rows are measured (VERDICT r2 item 1):
+Measured rows (VERDICT r2 items 1 and 6):
   r50_544x800   — the fast row (R-50-FPN, a reference-sanctioned
                   alternative, MODEL_ZOO.md:26)
+  vio_r50_544x800 — the SAME fused program driven as IMU_RGBD (scalar
+                  scale input + per-frame preintegration/init hooks)
   x101_1088x800 — the reference ROS node's ACTUAL configuration:
                   X-101-32x8d-FPN with every input resized to 1088x800
                   (run_mask_rcnn.py:30, predictor.py:282 —
@@ -53,6 +55,12 @@ def make_config():
             "WINDOW_SIZE": 20,
             "MaxTrackPointBG": 3000,
             "MaxTrackPointOBJ": 800,
+            "Camera.fps": 10,
+            "IMU.NoiseGyro": 1e-4,
+            "IMU.NoiseAcc": 1e-4,
+            "IMU.GyroWalk": 1e-6,
+            "IMU.AccWalk": 1e-5,
+            "IMU.Frequency": 200,
         }
     )
 
@@ -112,10 +120,17 @@ def _log(msg):
 
 
 def run_row(cfg, mask_cfg, frames, n_warmup, n_bench, pair, pipelined,
-            fused, flags, with_mfu):
+            fused, flags, with_mfu, use_imu=False):
     """Build perception+tracker for one detector config, measure two passes,
-    optionally measure device-busy/MFU. Returns a result dict."""
+    optionally measure device-busy/MFU. Returns a result dict.
+
+    `use_imu=True` benches the fused VIO path (IMU_RGBD through
+    track_frames_pair): synthetic 200 Hz IMU samples are queued before
+    every dispatch, so preintegration, the per-frame init/refinement
+    attempts and the pre-dispatch sync all run at their true per-frame
+    cost (System.cc:65-78)."""
     from vido_slam_tpu.models.perception import PerceptionModel
+    from vido_slam_tpu.system import ImuPoint
     from vido_slam_tpu.tracking import Tracker
 
     H, W = 192, 640
@@ -128,20 +143,42 @@ def run_row(cfg, mask_cfg, frames, n_warmup, n_bench, pair, pipelined,
     )
     tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,
                       local_ba=True, ba_max_points=1000, ba_iters=10,
-                      pipelined=pipelined, fused_ba=fused)
+                      pipelined=pipelined, fused_ba=fused, use_imu=use_imu)
     if os.environ.get("VIDO_BENCH_DEFERRED_BA", "0") == "1":
         tracker.ba_deferred = True
     tracker.attach_perception(perception, "kaist",
                               cfg.system.depth_map_factor, cfg.camera.bf)
     _log(f"row {mask_cfg.input_h}x{mask_cfg.input_w} built; warming up")
 
+    imu_clock = [0.0]
+
+    def feed_imu(n_new_frames=2):
+        # stationary-with-jitter IMU stream at 200 Hz, fed just ahead of
+        # the frames it covers (the preintegrator consumes up to each
+        # frame boundary and keeps the remainder queued)
+        if not use_imu:
+            return
+        dt = 1.0 / 200.0
+        t_end = imu_clock[0] + n_new_frames / float(cfg.camera.fps)
+        ts = np.arange(imu_clock[0] + dt, t_end + 1e-9, dt)
+        tracker.grab_imu_data([
+            ImuPoint(a=np.asarray([0.05, -9.79, 0.02], np.float32),
+                     w=np.asarray([0.001, 0.002, -0.001], np.float32),
+                     t=float(t))
+            for t in ts
+        ])
+        imu_clock[0] = t_end
+
     # warmup (compilation)
     if pair:
+        feed_imu()
         tracker.track_frames_pair(frames[0], frames[1], frames[2])  # init
         for i in range(1, 2 * n_warmup, 2):
+            feed_imu()
             tracker.track_frames_pair(frames[i], frames[i + 1], frames[i + 2])
     else:
         for i in range(n_warmup):
+            feed_imu(1)
             tracker.track_frames(frames[i], frames[i + 1])
     jax.device_get(tracker.state.Tcw)
     _log("warmup done; measuring")
@@ -155,12 +192,14 @@ def run_row(cfg, mask_cfg, frames, n_warmup, n_bench, pair, pipelined,
         if pair:
             for i in range(start, start + n_bench, 2):
                 t0 = time.perf_counter()
+                feed_imu()
                 tracker.track_frames_pair(frames[i], frames[i + 1],
                                           frames[i + 2])
                 dts.append((time.perf_counter() - t0) / 2.0)  # per-frame
         else:
             for i in range(start, start + n_bench):
                 t0 = time.perf_counter()
+                feed_imu(1)
                 tracker.track_frames(frames[i], frames[i + 1])
                 dts.append(time.perf_counter() - t0)
         if os.environ.get("VIDO_BENCH_VERBOSE", "0") == "1":
@@ -184,7 +223,8 @@ def run_row(cfg, mask_cfg, frames, n_warmup, n_bench, pair, pipelined,
         from vido_slam_tpu.utils.mfu import (
             compiled_flops, device_busy_ms, peak_flops)
 
-        args = (tracker._pp, tracker.state, frames[0], frames[1], frames[2])
+        args = (tracker._pp, tracker.state, frames[0], frames[1],
+                frames[2], tracker._effective_scale())
         n_pairs = 4
 
         def run():
@@ -192,7 +232,8 @@ def run_row(cfg, mask_cfg, frames, n_warmup, n_bench, pair, pipelined,
             out = None
             for _ in range(n_pairs):
                 out = tracker._step_frames2(tracker._pp, st, frames[0],
-                                            frames[1], frames[2])
+                                            frames[1], frames[2],
+                                            tracker._effective_scale())
                 st = out[0]
             jax.device_get(out[0].Tcw)
 
@@ -237,6 +278,7 @@ def main():
     flags = (bf16, mask_bf16, flow_bf16)
     with_mfu = os.environ.get("VIDO_BENCH_MFU", "1") == "1"
     with_x101 = os.environ.get("VIDO_BENCH_X101", "1") == "1"
+    with_vio = os.environ.get("VIDO_BENCH_VIO", "1") == "1" and pair
 
     n_warmup, n_bench = 3, 30  # two measured passes of n_bench frames
     n_frames = n_warmup + 2 * n_bench + 2
@@ -247,6 +289,13 @@ def main():
     rows["r50_544x800"] = run_row(
         cfg, MaskRCNNConfig(input_h=544, input_w=800), frames,
         n_warmup, n_bench, pair, pipelined, fused, flags, with_mfu)
+    if with_vio:
+        # fused VIO path (same program + scalar scale input + host IMU
+        # hooks); no MFU pass — the device program matches the r50 row
+        rows["vio_r50_544x800"] = run_row(
+            cfg, MaskRCNNConfig(input_h=544, input_w=800), frames,
+            n_warmup, min(n_bench, 20), pair, pipelined, fused, flags,
+            False, use_imu=True)
     if with_x101:
         rows["x101_1088x800"] = run_row(
             cfg, RESNEXT101_FPN._replace(input_h=1088, input_w=800), frames,
@@ -264,6 +313,8 @@ def main():
     }
     if with_x101:
         out["x101_fps"] = rows["x101_1088x800"]["fps"]
+    if with_vio:
+        out["vio_fps"] = rows["vio_r50_544x800"]["fps"]
     print(json.dumps(out))
 
 

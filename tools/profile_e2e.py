@@ -128,7 +128,8 @@ def main():
         # MFU = compiled-HLO FLOPs / device-busy time / chip peak
         # (utils/mfu.py; wall clock is unusable on the tunneled transport)
         from vido_slam_tpu.utils.mfu import compiled_flops, peak_flops
-        args = (tracker._pp, tracker.state, frames[0], frames[1], frames[2])
+        args = (tracker._pp, tracker.state, frames[0], frames[1],
+                frames[2], tracker._effective_scale())
         fl = compiled_flops(tracker._step_frames2, *args) / 2.0  # per frame
         peak = peak_flops()
         mfu = fl / (busy / n_prof / 1000.0) / peak if busy else 0.0

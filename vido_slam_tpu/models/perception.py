@@ -183,20 +183,25 @@ class PerceptionModel:
         # tunneled TPU runtime re-loads on every process start (minutes),
         # while ~650 per-call argument leaves cost ~1.2 ms of dispatch.
         # Packed buffers give O(1) dispatch leaves AND a small executable.
-        from vido_slam_tpu.utils.packing import pack_params, unpack_params
+        from vido_slam_tpu.utils.packing import pack_params
 
         self._pp, self._pp_spec = pack_params(
             (self.depth_params, self.flow_params, self.mask_params))
-        spec = self._pp_spec
+        self._fwd = jax.jit(self.forward_from_packed)
 
-        def fwd(bufs, prev, cur):
-            dp, fp, mp = unpack_params(bufs, spec)
-            return perception_forward(
-                dp, fp, mp, prev, cur, height=self.height, width=self.width,
-                mask_cfg=self.mask_cfg, use_pallas=self.use_pallas,
-            )
+    def forward_from_packed(self, bufs, prev_bgr, cur_bgr) -> PerceptionOutput:
+        """Traceable forward from the packed weight buffers (`self._pp`).
+        This is the seam the fused tracking program calls
+        (Tracker.attach_perception) — anything implementing it plus `_pp`
+        can stand in for the three nets."""
+        from vido_slam_tpu.utils.packing import unpack_params
 
-        self._fwd = jax.jit(fwd)
+        dp, fp, mp = unpack_params(bufs, self._pp_spec)
+        return perception_forward(
+            dp, fp, mp, prev_bgr, cur_bgr, height=self.height,
+            width=self.width, mask_cfg=self.mask_cfg,
+            use_pallas=self.use_pallas,
+        )
 
     @classmethod
     def from_pretrained(cls, weights_dir: str, height: int, width: int,
@@ -229,18 +234,10 @@ class PerceptionModel:
         per-frame program dispatches — each program boundary costs tunnel
         scheduling on a remote TPU transport."""
         from vido_slam_tpu.geometry.camera import convert_depth
-        from vido_slam_tpu.utils.packing import unpack_params
-
-        spec = self._pp_spec
 
         @jax.jit
         def fwd(bufs, prev_bgr, cur_bgr):
-            dp, fp, mp = unpack_params(bufs, spec)
-            out = perception_forward(
-                dp, fp, mp, prev_bgr, cur_bgr,
-                height=self.height, width=self.width,
-                mask_cfg=self.mask_cfg, use_pallas=self.use_pallas,
-            )
+            out = self.forward_from_packed(bufs, prev_bgr, cur_bgr)
             depth = convert_depth(out.depth_u16, depth_mode,
                                   depth_map_factor, bf, scale=scale)
             return depth, out.flow, out.mask.astype(jnp.int32)

@@ -202,21 +202,38 @@ class System:
     # ------------------------------------------------------------------
     # Fully-fused realtime path: perception + tracking as ONE device
     # program per frame (the TPU-native answer to the reference's 3 ROS
-    # service calls + TrackRGBD, run_vido.cc:131-171). VO mode only — the
-    # VIO scale handling keeps the separate-inputs route.
+    # service calls + TrackRGBD, run_vido.cc:131-171). Supports RGBD and
+    # IMU_RGBD (System.cc:65-78): in VIO mode the live IMU scale rides as
+    # a scalar program input, so IMU initialization / scale refinement
+    # never recompile the fused program.
     def AttachPerception(self, perception_model) -> None:
         assert self._initialized, "call Init first"
         cfg = self.config
+        # base scale 1.0: the tracker multiplies in its live imu_scale
+        # (mScale) at every dispatch
         self.tracker.attach_perception(
             perception_model, cfg.system.dataset,
-            cfg.system.depth_map_factor, cfg.camera.bf, scale=self.scale,
+            cfg.system.depth_map_factor, cfg.camera.bf, scale=1.0,
         )
 
-    def TrackFrames(self, prev_bgr, cur_bgr, mTcw_gt=None,
-                    timestamp=None) -> np.ndarray:
+    def TrackFrames(self, prev_bgr, cur_bgr, mTcw_gt=None, timestamp=None,
+                    imu_measurements=None) -> np.ndarray:
         """One fused program from raw BGR frames to the camera pose."""
-        return self.tracker.track_frames(prev_bgr, cur_bgr, Tcw_gt=mTcw_gt,
-                                         timestamp=timestamp)
+        if self.sensor == Sensor.IMU_RGBD and imu_measurements:
+            self.tracker.grab_imu_data(imu_measurements)
+        Tcw = self.tracker.track_frames(prev_bgr, cur_bgr, Tcw_gt=mTcw_gt,
+                                        timestamp=timestamp)
+        self.scale = self.tracker.imu_scale
+        return Tcw
+
+    def TrackFramesPair(self, f0, f1, f2, mTcw_gt=None,
+                        imu_measurements=None):
+        """Two frames per device program (Tracker.track_frames_pair)."""
+        if self.sensor == Sensor.IMU_RGBD and imu_measurements:
+            self.tracker.grab_imu_data(imu_measurements)
+        Tcw = self.tracker.track_frames_pair(f0, f1, f2, Tcw_gt=mTcw_gt)
+        self.scale = self.tracker.imu_scale
+        return Tcw
 
     # ------------------------------------------------------------------
     # Flat-array marshaling shims for the native C ABI (native/vido_system

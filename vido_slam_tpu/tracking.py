@@ -536,13 +536,20 @@ class Tracker:
         self.local_ba = local_ba
         self.ba_max_points = ba_max_points
         self.ba_iters = ba_iters
+        # fused window BA: PartialBatchOptimization runs inside the per-frame
+        # device program from ring buffers (no per-frame BA put/get RPCs).
+        # VIO composes with it: IMU init / scale refinement run at map-
+        # synchronous points and transform the device rings in place
+        # (_rescale_state).
+        self.fused_ba = fused_ba and local_ba
         # software pipeline (hide host<->device round-trips): frame t's
-        # outputs are recorded while frame t+1 computes; incompatible with
-        # VIO's synchronous scale handling for now
+        # outputs are recorded while frame t+1 computes.
         # with fused_ba the fetch feeds nothing back into device state, so
         # the one-frame-lagged pipeline is exactly equivalent (records lag
-        # one frame until finish()) and the fetch RTT hides under compute
-        self.pipelined = pipelined and not use_imu
+        # one frame until finish()) and the fetch RTT hides under compute.
+        # VIO + pipeline needs the fused BA (the host-assembled window BA's
+        # async dispatch would race the scale handling's map rewrite).
+        self.pipelined = pipelined and (not use_imu or self.fused_ba)
         # defer the window-BA fetch: join it with the NEXT frame's output
         # fetch (one host round-trip instead of two; pose correction applied
         # device-side). Off by default: on tunneled transports the joined
@@ -572,11 +579,21 @@ class Tracker:
         if use_imu:
             from vido_slam_tpu.imu.preintegration import ImuCalib
 
+            # the tiny IMU-side programs (preintegration scan, init LM,
+            # alignment) run on the HOST CPU backend: as device programs on
+            # a tunneled TPU each costs serialized h2d puts plus a blocking
+            # fetch behind all in-flight frame work (FIFO transport) —
+            # measured 12.5 FPS on the VIO bench row vs 48.5 VO
+            try:
+                self._imu_cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                self._imu_cpu = None
             i = config.imu
-            self.imu_calib = ImuCalib.from_config(
-                i.Tbc, i.noise_gyro, i.noise_acc, i.gyro_walk, i.acc_walk,
-                i.frequency,
-            )
+            with self._host_math():
+                self.imu_calib = ImuCalib.from_config(
+                    i.Tbc, i.noise_gyro, i.noise_acc, i.gyro_walk,
+                    i.acc_walk, i.frequency,
+                )
         s = config.system
         # UseSampleFeature: 0 = detected FAST corners (needs the gray image),
         # 1 = grid-random sampling (kaist_config.yaml:78, Tracking.cc:167)
@@ -584,10 +601,6 @@ class Tracker:
         # the reference's bJoint (Tracking.h:184 — declared, never assigned):
         # joint flow+pose optimizers instead of fixed-correspondence LM
         self.joint_flow = joint_flow
-        # fused window BA: PartialBatchOptimization runs inside the per-frame
-        # device program from ring buffers (no per-frame BA put/get RPCs);
-        # VIO keeps the host path (scale handling mutates recorded frames)
-        self.fused_ba = fused_ba and local_ba and not use_imu
         # record mode: what per-frame data crosses the device->host boundary.
         # "full" fetches per-point slots into FrameRecords (needed by the
         # host-assembled BA paths, the KITTI full-batch pass, point viz and
@@ -668,6 +681,15 @@ class Tracker:
         """Queue raw IMU samples; each has .a (3,), .w (3,), .t seconds."""
         self._imu_queue.extend(measurements)
 
+    def _host_math(self):
+        """Context manager pinning the IMU-side math to the host CPU
+        backend (see __init__); no-ops when no CPU backend exists."""
+        import contextlib
+
+        cpu = getattr(self, "_imu_cpu", None)
+        return jax.default_device(cpu) if cpu is not None \
+            else contextlib.nullcontext()
+
     def _preintegrate_interval(self, t0: float, t1: float):
         from vido_slam_tpu.imu.preintegration import (
             init_preintegration, integrate_measurements, prepare_segments,
@@ -680,10 +702,12 @@ class Tracker:
         gyros = np.asarray([np.asarray(m.w) for m in self._imu_queue], np.float32)
         a, w, dt = prepare_segments(times, accs, gyros, t0, t1,
                                     self.imu_max_segments)
-        st = integrate_measurements(
-            init_preintegration(jnp.asarray(self.imu_bias)),
-            jnp.asarray(a), jnp.asarray(w), jnp.asarray(dt), self.imu_calib,
-        )
+        with self._host_math():
+            st = integrate_measurements(
+                init_preintegration(jnp.asarray(self.imu_bias)),
+                jnp.asarray(a), jnp.asarray(w), jnp.asarray(dt),
+                self.imu_calib,
+            )
         # drop consumed samples (keep one before t1 for boundary interp)
         keep = times >= t1 - 0.02
         self._imu_queue = [m for m, k in zip(self._imu_queue, keep) if k]
@@ -751,12 +775,14 @@ class Tracker:
         twb[:n] = twb_np
         pp, pv = self._stacked_preints(n - 1)
         pv[n - 1:] = False
-        res = initialize_imu(
-            jnp.asarray(Rwb), jnp.asarray(twb),
-            **{k: jnp.asarray(v) for k, v in pp.items()},
-            pair_valid=jnp.asarray(pv),
-            prior_g=1e2, prior_a=1e9,
-        )
+        with self._host_math():
+            res = initialize_imu(
+                jnp.asarray(Rwb), jnp.asarray(twb),
+                **{k: jnp.asarray(v) for k, v in pp.items()},
+                pair_valid=jnp.asarray(pv),
+                prior_g=1e2, prior_a=1e9,
+            )
+        res = jax.device_get(res)
         scale = float(res.scale)
         if scale < 0.1:  # Tracking.cc:1008-1012
             return
@@ -768,22 +794,43 @@ class Tracker:
         if abs(scale - 1.0) > 1e-5:  # Tracking.cc:1016-1020
             self.map.apply_scaled_rotation(Rwg.T, scale)
             self.imu_scale *= scale
-            self._rescale_state(scale)
+            self._rescale_state(scale, Rwg.T)
         self.imu_initialized = True
         self._last_scale_refine_t = timestamp
 
-    def _rescale_state(self, scale: float) -> None:
-        """Bring the device-side tracking state into the rescaled world:
-        stored feature depths scale with the map (Map::ApplyScaledRotation
-        rescales all 3D structure); velocity and per-bin object motions are
-        invalidated and re-seed on the next frame."""
+    def _rescale_state(self, scale: float, Ryw: np.ndarray) -> None:
+        """Bring the device-side tracking state into the rescaled, gravity-
+        aligned world — the state-side counterpart of
+        Map::ApplyScaledRotation (Map.cc:57-120). Camera-frame quantities
+        (stored feature depths, BA-ring backprojections) scale by s; the
+        pose transforms as Tcw' = [Rcw·Ryw^T | s·tcw]; relative motions
+        (BA odometry ring) keep their rotation with translations scaled;
+        velocity and per-bin object motions are invalidated and re-seed on
+        the next frame. Applying the transform directly (instead of copying
+        the last map pose) keeps this correct even when the state runs
+        ahead of the recorded frames (pipelined / pair modes)."""
         st = self.state
+        s = jnp.float32(scale)
+        Ryw_j = jnp.asarray(np.asarray(Ryw, np.float64), jnp.float32)
+        Tcw = st.Tcw
+        Tcw_new = (Tcw.at[:3, :3].set(Tcw[:3, :3] @ Ryw_j.T)
+                   .at[:3, 3].set(s * Tcw[:3, 3]))
+        # window-BA rings: Twc' = [Ryw·Rwc | s·Ryw·twc]; odometry
+        # (Twc_{w-1}^{-1}·Twc_w) keeps R, scales t; obs are camera-frame
+        ba_Twc = st.ba_Twc
+        ba_R = jnp.einsum("ij,wjk->wik", Ryw_j, ba_Twc[:, :3, :3])
+        ba_t = s * jnp.einsum("ij,wj->wi", Ryw_j, ba_Twc[:, :3, 3])
+        ba_Twc_new = (ba_Twc.at[:, :3, :3].set(ba_R)
+                      .at[:, :3, 3].set(ba_t))
         self.state = st._replace(
-            stat=st.stat._replace(depth=st.stat.depth * scale),
-            obj=st.obj._replace(depth=st.obj.depth * scale),
-            Tcw=jnp.asarray(self.map.frames[-1].Tcw),
+            stat=st.stat._replace(depth=st.stat.depth * s),
+            obj=st.obj._replace(depth=st.obj.depth * s),
+            Tcw=Tcw_new,
             has_velocity=jnp.bool_(False),
             bin_has_motion=jnp.zeros_like(st.bin_has_motion),
+            ba_obs=st.ba_obs * s,
+            ba_Twc=ba_Twc_new,
+            ba_odom=st.ba_odom.at[:, :3, 3].multiply(s),
         )
 
     def _try_scale_refinement(self, timestamp: float) -> None:
@@ -804,24 +851,29 @@ class Tracker:
             Twb = np.linalg.inv(np.asarray(rec.Tcw, np.float64)) @ Tcb
             Rwb.append(Twb[:3, :3])
             twb.append(Twb[:3, 3])
-        pre = self._preints[-(n - 1):]
+        # only preints whose BOTH frames are recorded (in pipelined modes
+        # preints can run ahead of the map by the in-flight frames)
+        pre = self._preints[: len(self.map) - 1][-(n - 1):]
         if not pre or any(p is None for p in pre):
             return
-        dts = jnp.asarray([p.dT for p in pre])
-        dV = jnp.asarray([p.dV for p in pre])
-        dP = jnp.asarray([p.dP for p in pre])
-        pv = jnp.asarray([p.dT > 0 for p in pre])
-        Rwb_j = jnp.asarray(np.stack(Rwb), jnp.float32)
-        twb_j = jnp.asarray(np.stack(twb), jnp.float32)
-        Rwg0 = estimate_gravity_direction(Rwb_j, dV, pv)
-        _, s, Rwg, _ = linear_alignment(Rwb_j, twb_j, dts, dV, dP, pv, Rwg0)
+        with self._host_math():
+            dts = jnp.asarray([p.dT for p in pre])
+            dV = jnp.asarray([p.dV for p in pre])
+            dP = jnp.asarray([p.dP for p in pre])
+            pv = jnp.asarray([p.dT > 0 for p in pre])
+            Rwb_j = jnp.asarray(np.stack(Rwb), jnp.float32)
+            twb_j = jnp.asarray(np.stack(twb), jnp.float32)
+            Rwg0 = estimate_gravity_direction(Rwb_j, dV, pv)
+            _, s, Rwg, _ = linear_alignment(Rwb_j, twb_j, dts, dV, dP, pv,
+                                            Rwg0)
         scale = float(s)
         self._last_scale_refine_t = timestamp
         if scale < 0.1 or abs(scale - 1.0) <= 1e-5:
             return
-        self.map.apply_scaled_rotation(np.asarray(Rwg, np.float64).T, scale)
+        Ryw = np.asarray(Rwg, np.float64).T
+        self.map.apply_scaled_rotation(Ryw, scale)
         self.imu_scale *= scale
-        self._rescale_state(scale)
+        self._rescale_state(scale, Ryw)
 
     # ------------------------------------------------------------------
     def initialize(self, depth, flow, mask, Tcw_gt=None, timestamp=0.0,
@@ -984,8 +1036,10 @@ class Tracker:
             t0 = time.perf_counter()
             Tcw = self._apply_fused_ba(h)
             self.map.lba_time.append(time.perf_counter() - t0)
-            if self.use_imu:  # pragma: no cover — fused_ba excludes IMU
-                raise AssertionError
+            if self.use_imu:
+                # synchronous mode: map/state/preints are aligned here
+                self._vio_update(float(timestamp))
+                Tcw = self.map.frames[-1].Tcw
             return np.asarray(Tcw)
 
         # ---- sliding-window BA (PartialBatchOptimization) ----------
@@ -1000,12 +1054,40 @@ class Tracker:
 
         # ---- VIO init / scale refinement (Tracking.cc:1452-1480) ----
         if self.use_imu:
-            if not self.imu_initialized:
-                self._try_initialize_imu(float(timestamp))
-            else:
-                self._try_scale_refinement(float(timestamp))
+            self._vio_update(float(timestamp))
             Tcw = jnp.asarray(self.map.frames[-1].Tcw)
         return np.asarray(Tcw)
+
+    def _vio_update(self, timestamp) -> None:
+        """IMU initialization / scale refinement (Tracking.cc:1452-1480).
+        Must run at a map-synchronous point: every dispatched frame
+        recorded, `self.state` on the last recorded frame's world, and
+        `self._preints` aligned with the recorded pairs — the pipelined
+        paths guarantee this by draining pending outputs first."""
+        if timestamp is None:
+            return
+        if not self.imu_initialized:
+            self._try_initialize_imu(float(timestamp))
+        else:
+            self._try_scale_refinement(float(timestamp))
+
+    def _vio_event_due(self, ts) -> bool:
+        """Cheap precondition check for whether _vio_update could possibly
+        act at timestamp `ts` (the gating conditions of Tracking.cc:939-949
+        and :1046-1077). The pipelined VIO paths only pay the pre-dispatch
+        sync (losing the record/compute overlap) on frames where this is
+        true — i.e. every frame from the 10-frame/2-s mark until the init
+        succeeds, then once per ~10 s for scale refinement."""
+        if ts is None:
+            return False
+        if not self.imu_initialized:
+            n = len(self.map) + len(self._pending_q) \
+                + (1 if self._pending is not None else 0)
+            if n < 10 or n > self.imu_max_frames:
+                return False
+            t0 = self.map.frames[0].timestamp if len(self.map) else 0.0
+            return ts - t0 >= 2.0
+        return ts - self._last_scale_refine_t >= 10.0
 
     # ------------------------------------------------------------------
     # Fully-fused per-frame program: perception + depth conversion +
@@ -1017,10 +1099,12 @@ class Tracker:
                           depth_map_factor: float = None, bf: float = None,
                           scale: float = 1.0):
         """Bind a PerceptionModel into the per-frame program; enables
-        `track_frames`. `scale` is the fixed metric scale (VO mode; the
-        VIO scale path keeps the separate-program route)."""
+        `track_frames`. `scale` is a fixed BASE metric scale; the effective
+        depth scale each dispatch is base x the current IMU scale (mScale,
+        Tracking.cc:316-319) and rides as a SCALAR PROGRAM INPUT, so VIO
+        initialization / scale refinement never recompile the fused
+        program."""
         from vido_slam_tpu.geometry.camera import convert_depth
-        from vido_slam_tpu.models.perception import perception_forward
 
         dm_factor = (depth_map_factor if depth_map_factor is not None
                      else self.cfg.system.depth_map_factor)
@@ -1029,19 +1113,17 @@ class Tracker:
         use_fast = self.use_fast
         H, W = self.cam.height, self.cam.width
 
-        from vido_slam_tpu.utils.packing import unpack_params
-
         # perception weights ride as PACKED jit arguments (one buffer per
         # dtype) rather than closure constants: constants bake a ~0.5 GB
         # executable that a tunneled TPU runtime re-loads for minutes on
         # every process start (see PerceptionModel.__init__)
-        pp_spec = model._pp_spec
         self._pp = model._pp
+        percept = model.forward_from_packed
 
-        def track_percept(state, out, cur_bgr):
+        def track_percept(state, out, cur_bgr, scale_in):
             """Tracking step from one PerceptionOutput (device-side)."""
             depth = convert_depth(out.depth_u16, depth_mode, dm_factor, bf_,
-                                  scale=scale)
+                                  scale=scale_in)
             if use_fast:
                 gray = (0.299 * cur_bgr[..., 2] + 0.587 * cur_bgr[..., 1]
                         + 0.114 * cur_bgr[..., 0])
@@ -1052,16 +1134,12 @@ class Tracker:
             fbuf, ibuf = pack_pytree(outs)
             return new_state, fbuf, ibuf
 
-        def fused(bufs, state, prev_bgr, cur_bgr):
-            dparams, fparams, mparams = unpack_params(bufs, pp_spec)
-            out = perception_forward(
-                dparams, fparams, mparams,
-                prev_bgr, cur_bgr, height=H, width=W,
-                mask_cfg=model.mask_cfg, use_pallas=model.use_pallas,
-            )
-            return track_percept(state, out, cur_bgr)
+        def fused(bufs, state, prev_bgr, cur_bgr, scale_in):
+            out = percept(bufs, prev_bgr, cur_bgr)
+            return track_percept(state, out, cur_bgr, scale_in)
 
         self._attached = (model, depth_mode, dm_factor, bf_, scale)
+        self._percept_base_scale = float(scale)
         self._step_frames = jax.jit(fused)
 
         # two frames per device program (track_frames_pair): halves the
@@ -1076,20 +1154,22 @@ class Tracker:
         # the plain sequential form below. XLA's scheduler already hides
         # most per-op latency inside the big fused program, so batch-2
         # mainly adds layout/stacking overhead here.
-        def fused2(bufs, state, f0, f1, f2):
-            state, fA, iA = fused(bufs, state, f0, f1)
-            state, fB, iB = fused(bufs, state, f1, f2)
+        def fused2(bufs, state, f0, f1, f2, scale_in):
+            state, fA, iA = fused(bufs, state, f0, f1, scale_in)
+            state, fB, iB = fused(bufs, state, f1, f2, scale_in)
             return state, fA, iA, fB, iB
 
         self._step_frames2 = jax.jit(fused2)
+
+    def _effective_scale(self) -> np.float32:
+        """Depth scale for the next fused dispatch: the attach-time base
+        times the live IMU scale (updated by _vio_update)."""
+        return np.float32(self._percept_base_scale * self.imu_scale)
 
     def track_frames(self, prev_bgr, cur_bgr, Tcw_gt=None, timestamp=None):
         """Process one frame from RAW BGR images (prev, cur) through the
         fused perception+tracking program; returns the camera pose Tcw."""
         assert self._step_frames is not None, "call attach_perception first"
-        assert not self.use_imu, (
-            "track_frames is the VO fast path; VIO needs the separate-"
-            "inputs track() route (IMU preintegration + scale handling)")
         prev = jnp.asarray(prev_bgr, jnp.float32)
         cur = jnp.asarray(cur_bgr, jnp.float32)
         if self.state is None:
@@ -1103,8 +1183,25 @@ class Tracker:
                             timestamp if timestamp is not None else 0.0)
             return np.eye(4, dtype=np.float32)
         if timestamp is None:
-            timestamp = self.frame_id / self.cam.fps
+            # index of the frame being dispatched (frame_id lags by the
+            # not-yet-recorded in-flight frames in pipelined mode)
+            n_inflight = ((1 if self._pending is not None else 0)
+                          + len(self._pending_q))
+            timestamp = (self.frame_id + n_inflight) / self.cam.fps
         t_start = time.perf_counter()
+        if self.use_imu:
+            if self.pipelined and self._vio_event_due(self._last_ts):
+                # sync point BEFORE the dispatch, only when an IMU event
+                # could fire: its scale change feeds this frame's depth
+                # conversion and must transform state + map together (see
+                # _vio_update); in the synchronous mode _post_step handles
+                # it after recording
+                self._finalize_pending_ba()
+                self._process_pending()
+                self._vio_update(self._last_ts)
+            # PreintegrateIMU over the inter-frame interval (Tracking.cc:784)
+            self._preints.append(
+                self._preintegrate_interval(self._last_ts, float(timestamp)))
         self._last_ts = float(timestamp)
         if self._out_spec is None:
             H, W = self.cam.height, self.cam.width
@@ -1116,7 +1213,8 @@ class Tracker:
                 jax.ShapeDtypeStruct((H, W), jnp.float32),
             )
         new_state, out_f, out_i = self._step_frames(self._pp, self.state,
-                                                    prev, cur)
+                                                    prev, cur,
+                                                    self._effective_scale())
         self.state = new_state
         return self._post_step((out_f, out_i), float(timestamp), Tcw_gt,
                                t_start)
@@ -1132,8 +1230,8 @@ class Tracker:
         ((f1,f2,f3), (f3,f4,f5), ...), each processing frames k and k+1.
         `Tcw_gt`: optional (gtA, gtB) pair for the two frames."""
         assert self._step_frames2 is not None, "call attach_perception first"
-        assert self.pipelined and self.fused_ba and not self.use_imu, (
-            "track_frames_pair requires pipelined=True, fused_ba=True, VO")
+        assert self.pipelined and self.fused_ba, (
+            "track_frames_pair requires pipelined=True, fused_ba=True")
         f0 = jnp.asarray(f0, jnp.float32)
         f1 = jnp.asarray(f1, jnp.float32)
         f2 = jnp.asarray(f2, jnp.float32)
@@ -1154,10 +1252,30 @@ class Tracker:
                 jax.ShapeDtypeStruct((H, W), jnp.int32),
                 jax.ShapeDtypeStruct((H, W), jnp.float32),
             )
+        vio_ts = None
+        if self.use_imu:
+            # sync point BEFORE the dispatch ONLY when an IMU event could
+            # fire (the event's scale change feeds this pair's depth
+            # conversion and must transform state + map together): record
+            # the previous pair, then run init / scale refinement on the
+            # now-synchronous map. On ordinary frames the VO path's
+            # record/compute overlap is kept; preintegration runs after
+            # the dispatch, hidden behind the device compute.
+            if self._vio_event_due(self._last_ts):
+                self._drain_pending_q()
+                self._vio_update(self._last_ts)
+            fps_ = self.cam.fps
+            base0 = self.frame_id + len(self._pending_q)
+            vio_ts = (self._last_ts, base0 / fps_, (base0 + 1) / fps_)
         t_start = time.perf_counter()
         new_state, fA, iA, fB, iB = self._step_frames2(
-            self._pp, self.state, f0, f1, f2)
+            self._pp, self.state, f0, f1, f2, self._effective_scale())
         self.state = new_state
+        if vio_ts is not None:
+            # PreintegrateIMU for the pair's two intervals (Tracking.cc:784)
+            t_prev, tA, tB = vio_ts
+            self._preints.append(self._preintegrate_interval(t_prev, tA))
+            self._preints.append(self._preintegrate_interval(tA, tB))
         # copies ride directly behind the dispatch on the FIFO transport
         for b in (fA, iA, fB, iB):
             b.copy_to_host_async()
