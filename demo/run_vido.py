@@ -79,12 +79,12 @@ def main():
             cfg.camera.height, cfg.camera.width,
             MaskRCNNConfig(input_h=544, input_w=800),
         )
-        # VO mode: perception + tracking run as ONE device program per
-        # frame (System.AttachPerception); VIO keeps the separate route
-        # (the metric scale changes after IMU initialization)
-        fused_online = not vio
-        if fused_online:
-            system.AttachPerception(perception)
+        # perception + tracking run as ONE device program per frame
+        # (System.AttachPerception) for both RGBD and IMU_RGBD: the live
+        # IMU scale rides as a scalar program input, so IMU init / scale
+        # refinement never recompile the fused program
+        fused_online = True
+        system.AttachPerception(perception)
 
     import cv2
 
@@ -104,11 +104,20 @@ def main():
             bgr = demosaic_bayer_bg2bgr(raw)
 
         if fused_online:
+            meas = None
+            if imu is not None and last_t is not None:
+                times, accs, gyros = imu
+                sel = (times > last_t) & (times <= fr.timestamp)
+                meas = [
+                    ImuPoint(a=accs[j], w=gyros[j], t=float(times[j]))
+                    for j in np.nonzero(sel)[0]
+                ]
             if prev_bgr is None:
                 prev_bgr = bgr
             Tcw = system.TrackFrames(prev_bgr.astype(np.float32),
                                      bgr.astype(np.float32),
-                                     timestamp=fr.timestamp)
+                                     timestamp=fr.timestamp,
+                                     imu_measurements=meas)
             prev_bgr = bgr
             last_t = fr.timestamp
             if i % 10 == 0:
