@@ -215,6 +215,12 @@ def run_row(cfg, mask_cfg, frames, n_warmup, n_bench, pair, pipelined,
         "fps": round(1.0 / best, 3),
         "pass_fps": [round(1.0 / m1, 3), round(1.0 / m2, 3)],
     }
+    if use_imu:
+        # record whether IMU init / rescale cost was actually exercised in
+        # the measured passes, so the VIO figure is reproducible in what it
+        # includes (advisor r3)
+        row["imu_initialized"] = bool(tracker.imu_initialized)
+        row["imu_scale"] = round(float(tracker.imu_scale), 6)
 
     if with_mfu and pair:
         # MFU of the fused per-pair program: compiled-HLO FLOPs (XLA cost

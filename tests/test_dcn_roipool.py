@@ -121,3 +121,87 @@ class TestRoiPool:
         assert np.isfinite(got).all()
 
 pytestmark = pytest.mark.slow  # heavy jit: full tier only
+
+
+class TestGroupedDCNBackbone:
+    """DCN wired into the ResNet stages (resnet.py:110-122 + misc.py:114
+    DFConv2d): grouped deformable conv2 and the bottleneck-level plumbing."""
+
+    def test_grouped_zero_offsets_equal_grouped_conv(self):
+        key = jax.random.PRNGKey(5)
+        x = jax.random.normal(key, (2, 10, 12, 8))
+        w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 2, 16)) * 0.2
+        off = jnp.zeros((2, 10, 12, 18))
+        got = deform_conv2d(x, off, w, groups=4)
+        want = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)], feature_group_count=4,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+    def test_grouped_equals_per_group_split(self):
+        key = jax.random.PRNGKey(6)
+        x = jax.random.normal(key, (1, 8, 9, 6))
+        w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 2, 12)) * 0.2
+        off = jax.random.normal(jax.random.fold_in(key, 2), (1, 8, 9, 18))
+        m = jax.nn.sigmoid(
+            jax.random.normal(jax.random.fold_in(key, 3), (1, 8, 9, 9)))
+        got = deform_conv2d(x, off, w, mask=m, groups=3)
+        parts = [
+            deform_conv2d(x[..., g * 2:(g + 1) * 2], off,
+                          w[..., g * 4:(g + 1) * 4], mask=m)
+            for g in range(3)
+        ]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(jnp.concatenate(parts, -1)),
+            atol=1e-5)
+
+    def test_dcn_bottleneck_zero_offsets_match_plain_bottleneck(self):
+        """With the offset conv zero-initialised (the DFConv2d init,
+        misc.py:161-163 biases at zero -> sampling grid = plain conv taps;
+        DCNv1, no modulation), a DCN stage must reproduce the plain stage
+        bit-for-bit given the same conv2 weights."""
+        from vido_slam_tpu.models.maskrcnn.backbone import (
+            ResNetConfig, init_resnet_fpn_params, resnet_stages)
+
+        cfg_plain = ResNetConfig(stage_blocks=(1, 1, 1, 1), num_groups=2,
+                                 width_per_group=8)
+        cfg_dcn = cfg_plain._replace(stage_with_dcn=(False, True, True, True))
+        p = init_resnet_fpn_params(jax.random.PRNGKey(7), cfg_dcn)
+        p_plain = dict(p)
+        for k in list(p_plain):
+            if ".conv2.offset." in k:
+                del p_plain[k]
+            elif ".conv2.conv." in k:
+                p_plain[k.replace(".conv2.conv.", ".conv2.")] = p_plain.pop(k)
+        x = jax.random.normal(jax.random.PRNGKey(8), (1, 32, 32, 3))
+        got = resnet_stages(p, x, cfg_dcn)
+        want = resnet_stages(p_plain, x, cfg_plain)
+        for g, w_ in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                       atol=2e-4)
+
+    def test_modulated_dcn_mask_channels(self):
+        """DCNv2 (with_modulated_dcn): 27-channel offset conv, last 9
+        sigmoid-modulate the taps (misc.py:185-188). A large negative mask
+        logit must suppress the output toward zero."""
+        from vido_slam_tpu.models.maskrcnn.backbone import (
+            ResNetConfig, init_resnet_fpn_params, resnet_stages)
+
+        cfg = ResNetConfig(stage_blocks=(1, 1, 1, 1), num_groups=1,
+                           width_per_group=16,
+                           stage_with_dcn=(True, False, False, False),
+                           with_modulated_dcn=True)
+        p = init_resnet_fpn_params(jax.random.PRNGKey(9), cfg)
+        key = "backbone.body.layer1.0.conv2.offset.bias"
+        assert p[key].shape == (27,)
+        x = jax.random.normal(jax.random.PRNGKey(10), (1, 16, 16, 3))
+        base = resnet_stages(p, x, cfg)[0]
+        p_off = dict(p)
+        # mask logits -> -30: sigmoid ~ 0, conv2 output collapses to zero,
+        # the block reduces to identity+downsample branch
+        p_off[key] = p[key].at[18:].set(-30.0)
+        suppressed = resnet_stages(p_off, x, cfg)[0]
+        assert not np.allclose(np.asarray(base), np.asarray(suppressed))

@@ -18,7 +18,13 @@ Usage:
   python tools/convert_weights.py --out weights/ \
       [--flow network-default.pytorch] \
       [--depth-encoder encoder.pth --depth-decoder depth.pth] \
-      [--mask e2e_mask_rcnn_R_50_FPN_1x.pth]
+      [--mask e2e_mask_rcnn_R_50_FPN_1x.pth] \
+      [--mask-c2 e2e_mask_rcnn_X-101-32x8d-FPN_1x.pkl --mask-arch X-101]
+
+--mask-c2 ingests the DEPLOYED checkpoint format: the reference node's
+X-101 weights are a Detectron caffe2 pickle, translated per
+maskrcnn_benchmark/utils/c2_model_loading.py (models/maskrcnn/c2_loading.py
+reproduces the rename rules + suffix alignment torch-free).
 """
 import argparse
 import os
@@ -65,6 +71,50 @@ def convert_mask(path: str):
     return convert_state_dict(_load_torch(path))
 
 
+_MASK_ARCHS = {
+    # arch flag -> (model config name, C2 conv body). X-101-32x8d is the
+    # checkpoint the reference node deploys (run_mask_rcnn.py:30); its
+    # caffe2 yaml rides the R-101-FPN conv body with groups=32/width=8.
+    "X-101": ("RESNEXT101_FPN", "R-101"),
+    "R-50": ("RESNET50_FPN", "R-50"),
+}
+
+
+def convert_mask_c2(path: str, arch: str = "X-101"):
+    """Detectron caffe2 .pkl -> our mask param dict (the reference's
+    deployed checkpoints: e2e_mask_rcnn_{X-101-32x8d,R-50}-FPN_1x).
+    Translation per maskrcnn_benchmark/utils/c2_model_loading.py:12-206 +
+    model_serialization.py suffix alignment (see models/maskrcnn/
+    c2_loading.py)."""
+    import jax
+
+    from vido_slam_tpu.models.maskrcnn import model as mm
+    from vido_slam_tpu.models.maskrcnn.c2_loading import (
+        align_c2_to_model,
+        load_c2_pickle,
+        translate_c2_blobs,
+    )
+
+    cfg_name, conv_body = _MASK_ARCHS[arch]
+    cfg = getattr(mm, cfg_name)
+    state = translate_c2_blobs(
+        load_c2_pickle(path), conv_body,
+        stage_with_dcn=cfg.resnet.stage_with_dcn,
+    )
+    init = mm.init_maskrcnn_params(jax.random.PRNGKey(0), cfg)
+    params, filled, unmatched = align_c2_to_model(state, init)
+    if filled:
+        print(f"warning: {len(filled)} model params kept random init "
+              f"(no C2 blob): {filled[:8]}{'...' if len(filled) > 8 else ''}",
+              file=sys.stderr)
+    if unmatched:
+        drop = [k for k in unmatched if not k.startswith("fc1000")]
+        if drop:
+            print(f"note: {len(drop)} C2 blobs unused: {drop[:8]}"
+                  f"{'...' if len(drop) > 8 else ''}", file=sys.stderr)
+    return params
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", required=True, help="output directory")
@@ -72,6 +122,13 @@ def main(argv=None):
     ap.add_argument("--depth-encoder", help="MonoDepth2 encoder.pth")
     ap.add_argument("--depth-decoder", help="MonoDepth2 depth.pth")
     ap.add_argument("--mask", help="maskrcnn_benchmark .pth checkpoint")
+    ap.add_argument("--mask-c2",
+                    help="Detectron caffe2 .pkl checkpoint (the reference "
+                         "node's deployed weights, e.g. "
+                         "e2e_mask_rcnn_X-101-32x8d-FPN_1x)")
+    ap.add_argument("--mask-arch", default="X-101",
+                    choices=sorted(_MASK_ARCHS),
+                    help="backbone of the --mask-c2 checkpoint")
     args = ap.parse_args(argv)
 
     from vido_slam_tpu.utils.checkpoint import save_params
@@ -90,8 +147,12 @@ def main(argv=None):
     if args.mask:
         save_params(os.path.join(args.out, "mask"), convert_mask(args.mask))
         done.append("mask")
+    if args.mask_c2:
+        save_params(os.path.join(args.out, "mask"),
+                    convert_mask_c2(args.mask_c2, args.mask_arch))
+        done.append(f"mask (c2 {args.mask_arch})")
     if not done:
-        ap.error("nothing to convert: pass --flow/--depth-*/--mask")
+        ap.error("nothing to convert: pass --flow/--depth-*/--mask[-c2]")
     print(f"converted {', '.join(done)} -> {args.out}/")
 
 

@@ -34,6 +34,11 @@ class ResNetConfig(NamedTuple):
     width_per_group: int = 64            # X-101: 8
     stride_in_1x1: bool = True           # caffe2 R-50: True; X-101 cfg: False
     out_channels: int = 256              # FPN channels
+    # per-stage deformable conv2 (MODEL.RESNETS.STAGE_WITH_DCN,
+    # config/defaults.py:287; resnet.py:110-122 routes conv2 through
+    # layers/misc.py:114 DFConv2d when set)
+    stage_with_dcn: tuple = (False, False, False, False)
+    with_modulated_dcn: bool = False     # DCNv2 (27-ch offset+mask conv)
 
 
 def _bn(p: Params, prefix: str, x):
@@ -46,15 +51,36 @@ def _bn(p: Params, prefix: str, x):
     )
 
 
+def _dcn_conv2(p: Params, prefix: str, x, stride: int, groups: int,
+               modulated: bool):
+    """DFConv2d (layers/misc.py:114-190): a plain offset conv feeding the
+    deformable 3x3. Modulated (DCNv2) packs [18 offsets | 9 mask logits]
+    into one 27-channel conv; the mask is sigmoided (misc.py:185-188)."""
+    from vido_slam_tpu.ops.deform_conv import deform_conv2d
+
+    om = conv2d(x, p[f"{prefix}.conv2.offset.weight"],
+                p[f"{prefix}.conv2.offset.bias"], stride=stride, padding=1)
+    if modulated:
+        offsets, mask = om[..., :18], jax.nn.sigmoid(om[..., 18:27])
+    else:
+        offsets, mask = om, None
+    return deform_conv2d(x, offsets, p[f"{prefix}.conv2.conv.weight"],
+                         stride=stride, padding=1, mask=mask, groups=groups)
+
+
 def _bottleneck(p: Params, prefix: str, x, stride: int, groups: int,
-                stride_in_1x1: bool):
+                stride_in_1x1: bool, dcn: bool = False,
+                modulated_dcn: bool = False):
     s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
     identity = x
     out = relu(_bn(p, f"{prefix}.bn1",
                    conv2d(x, p[f"{prefix}.conv1.weight"], stride=s1)))
-    out = relu(_bn(p, f"{prefix}.bn2",
-                   conv2d(out, p[f"{prefix}.conv2.weight"], stride=s3,
-                          padding=1, groups=groups)))
+    if dcn:
+        conv2_out = _dcn_conv2(p, prefix, out, s3, groups, modulated_dcn)
+    else:
+        conv2_out = conv2d(out, p[f"{prefix}.conv2.weight"], stride=s3,
+                           padding=1, groups=groups)
+    out = relu(_bn(p, f"{prefix}.bn2", conv2_out))
     out = _bn(p, f"{prefix}.bn3", conv2d(out, p[f"{prefix}.conv3.weight"]))
     if f"{prefix}.downsample.0.weight" in p:
         identity = _bn(p, f"{prefix}.downsample.1",
@@ -75,6 +101,8 @@ def resnet_stages(p: Params, x: jnp.ndarray, cfg: ResNetConfig,
             x = _bottleneck(
                 p, f"{prefix}.layer{si + 1}.{b}", x,
                 stride if b == 0 else 1, cfg.num_groups, cfg.stride_in_1x1,
+                dcn=cfg.stage_with_dcn[si],
+                modulated_dcn=cfg.with_modulated_dcn,
             )
         feats.append(x)
     return feats
@@ -135,7 +163,18 @@ def init_resnet_fpn_params(key, cfg: ResNetConfig) -> Params:
             q = f"{pre}.layer{si + 1}.{b}"
             add_conv(f"{q}.conv1", cin if b == 0 else cout, planes, 1)
             add_bn(f"{q}.bn1", planes)
-            add_conv(f"{q}.conv2", planes, planes, 3, groups=cfg.num_groups)
+            if cfg.stage_with_dcn[si]:
+                # DFConv2d: zero-init offset conv (misc.py:161-163 inits
+                # the weight, bias zero; zero offsets make the block start
+                # as a plain conv) + the deformable 3x3 itself
+                oc = 27 if cfg.with_modulated_dcn else 18
+                p[f"{q}.conv2.offset.weight"] = jnp.zeros((3, 3, planes, oc))
+                p[f"{q}.conv2.offset.bias"] = jnp.zeros(oc)
+                add_conv(f"{q}.conv2.conv", planes, planes, 3,
+                         groups=cfg.num_groups)
+            else:
+                add_conv(f"{q}.conv2", planes, planes, 3,
+                         groups=cfg.num_groups)
             add_bn(f"{q}.bn2", planes)
             add_conv(f"{q}.conv3", planes, cout, 1)
             add_bn(f"{q}.bn3", cout)

@@ -61,6 +61,15 @@ RESNEXT101_FPN = MaskRCNNConfig(
         stride_in_1x1=False,
     )
 )
+# DCN variant (config/defaults.py:287-288 STAGE_WITH_DCN; the DCN model-zoo
+# checkpoints enable it on stages 2-4 with modulated conv)
+RESNEXT101_FPN_DCN = MaskRCNNConfig(
+    resnet=ResNetConfig(
+        stage_blocks=(3, 4, 23, 3), num_groups=32, width_per_group=8,
+        stride_in_1x1=False, stage_with_dcn=(False, True, True, True),
+        with_modulated_dcn=True,
+    )
+)
 
 
 class MaskRCNNOutput(NamedTuple):

@@ -28,20 +28,22 @@ from jax import lax
 from vido_slam_tpu.ops.warp import grid_sample_nhwc
 
 
-@partial(jax.jit, static_argnames=("stride", "padding", "dilation"))
+@partial(jax.jit, static_argnames=("stride", "padding", "dilation", "groups"))
 def deform_conv2d(
     x: jnp.ndarray,        # (N, H, W, Cin)
     offsets: jnp.ndarray,  # (N, Ho, Wo, 2*kh*kw) (dy, dx) per tap
-    w: jnp.ndarray,        # (kh, kw, Cin, Cout)
+    w: jnp.ndarray,        # (kh, kw, Cin/groups, Cout)
     b: jnp.ndarray = None,
     *,
     stride: int = 1,
     padding: int = 1,
     dilation: int = 1,
     mask: jnp.ndarray = None,  # (N, Ho, Wo, kh*kw) v2 modulation, or None
+    groups: int = 1,           # ResNeXt DCN stages: groups=32
 ) -> jnp.ndarray:
     N, H, W, Cin = x.shape
     kh, kw, _, Cout = w.shape
+    assert Cin % groups == 0 and Cout % groups == 0
     Ho = (H + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
     Wo = (W + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
 
@@ -61,10 +63,17 @@ def deform_conv2d(
             v = grid_sample_nhwc(x, sx, sy)          # (N, Ho, Wo, Cin)
             if mask is not None:
                 v = v * mask[..., k : k + 1]
-            out = out + jnp.einsum(
-                "nhwc,cd->nhwd", v, w[ki, kj],
-                precision=lax.Precision.HIGHEST,
-            )
+            if groups == 1:
+                out = out + jnp.einsum(
+                    "nhwc,cd->nhwd", v, w[ki, kj],
+                    precision=lax.Precision.HIGHEST,
+                )
+            else:
+                vg = v.reshape(N, Ho, Wo, groups, Cin // groups)
+                wg = w[ki, kj].reshape(Cin // groups, groups, Cout // groups)
+                og = jnp.einsum("nhwgc,cgd->nhwgd", vg, wg,
+                                precision=lax.Precision.HIGHEST)
+                out = out + og.reshape(N, Ho, Wo, Cout)
     if b is not None:
         out = out + b
     return out

@@ -129,9 +129,13 @@ def _vmem_estimate(TH: int, W: int, K: int) -> int:
 
 
 def _pick_row_tile(H: int, W: int, K: int, max_tile: int = 64,
-                   budget: int = 10 * 1024 * 1024):
+                   budget: int = 10 * 1024 * 1024, min_tile: int = 1):
+    """Largest row tile within the VMEM budget. `min_tile` must be >= the
+    kernel halo radius (_reg_kernel reads one tile above/below, so slices
+    like uall[TH + dy - r : ...] need TH >= r); shapes with no feasible
+    tile return None and the caller falls back to the XLA path."""
     best = None
-    for TH in range(1, min(H, max_tile) + 1):
+    for TH in range(max(1, min_tile), min(H, max_tile) + 1):
         if H % TH:
             continue
         if _vmem_estimate(TH, W, K) <= budget:
@@ -145,7 +149,7 @@ def dist_weighted_flow_pallas(dc, u, v, wx, bx, wy, by, k: int,
     awkward shapes (the caller gates on use_pallas for the backend)."""
     N, H, W, K = dc.shape
     assert K == k * k
-    TH = _pick_row_tile(H, W, K)
+    TH = _pick_row_tile(H, W, K, min_tile=(k - 1) // 2)
     if TH is None or H % TH:
         return dist_weighted_flow(dc, u, v, wx, bx, wy, by, k)
     n_tiles = H // TH

@@ -227,11 +227,14 @@ class System:
         return Tcw
 
     def TrackFramesPair(self, f0, f1, f2, mTcw_gt=None,
-                        imu_measurements=None):
-        """Two frames per device program (Tracker.track_frames_pair)."""
+                        imu_measurements=None, timestamps=None):
+        """Two frames per device program (Tracker.track_frames_pair).
+        `timestamps`: optional (tA, tB) real sensor timestamps for the two
+        frames — pass these whenever IMU measurements carry real clocks."""
         if self.sensor == Sensor.IMU_RGBD and imu_measurements:
             self.tracker.grab_imu_data(imu_measurements)
-        Tcw = self.tracker.track_frames_pair(f0, f1, f2, Tcw_gt=mTcw_gt)
+        Tcw = self.tracker.track_frames_pair(f0, f1, f2, Tcw_gt=mTcw_gt,
+                                             timestamps=timestamps)
         self.scale = self.tracker.imu_scale
         return Tcw
 

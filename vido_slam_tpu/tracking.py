@@ -967,10 +967,19 @@ class Tracker:
 
         # VIO: preintegrate the IMU over the inter-frame interval
         # (PreintegrateIMU, Tracking.cc:784-887)
-        if self.use_imu and self._last_ts is not None:
-            self._preints.append(
-                self._preintegrate_interval(self._last_ts, float(timestamp))
-            )
+        if self.use_imu:
+            if self.pipelined and self._vio_event_due(self._last_ts):
+                # pipelined _post_step returns before _vio_update; sync the
+                # map HERE (same pre-dispatch sync as track_frames) so IMU
+                # init / scale refinement still fire on the separate route
+                self._finalize_pending_ba()
+                self._process_pending()
+                self._vio_update(self._last_ts)
+            if self._last_ts is not None:
+                self._preints.append(
+                    self._preintegrate_interval(self._last_ts,
+                                                float(timestamp))
+                )
         self._last_ts = float(timestamp)
 
         depth = jnp.asarray(depth)
@@ -1219,7 +1228,7 @@ class Tracker:
         return self._post_step((out_f, out_i), float(timestamp), Tcw_gt,
                                t_start)
 
-    def track_frames_pair(self, f0, f1, f2, Tcw_gt=None):
+    def track_frames_pair(self, f0, f1, f2, Tcw_gt=None, timestamps=None):
         """Process TWO frames (transitions f0->f1 and f1->f2) in ONE device
         program — the per-program tunnel cost (scheduling + copy turnaround)
         amortises over two frames. Requires attach_perception and the
@@ -1228,7 +1237,11 @@ class Tracker:
         track_frames — so the FIRST call only initialises frame 0 from
         (f0, f1) and returns; subsequent calls must chain at odd offsets
         ((f1,f2,f3), (f3,f4,f5), ...), each processing frames k and k+1.
-        `Tcw_gt`: optional (gtA, gtB) pair for the two frames."""
+        `Tcw_gt`: optional (gtA, gtB) pair for the two frames.
+        `timestamps`: optional (tA, tB) REAL sensor timestamps of the two
+        frames; required for VIO on clips whose camera clock is not exactly
+        index/cfg.fps-aligned, since the IMU samples carry real timestamps
+        and prepare_segments selects by the (t0, t1] windows."""
         assert self._step_frames2 is not None, "call attach_perception first"
         assert self.pipelined and self.fused_ba, (
             "track_frames_pair requires pipelined=True, fused_ba=True")
@@ -1264,9 +1277,13 @@ class Tracker:
             if self._vio_event_due(self._last_ts):
                 self._drain_pending_q()
                 self._vio_update(self._last_ts)
-            fps_ = self.cam.fps
-            base0 = self.frame_id + len(self._pending_q)
-            vio_ts = (self._last_ts, base0 / fps_, (base0 + 1) / fps_)
+            if timestamps is not None:
+                tsA, tsB = float(timestamps[0]), float(timestamps[1])
+            else:
+                fps_ = self.cam.fps
+                base0 = self.frame_id + len(self._pending_q)
+                tsA, tsB = base0 / fps_, (base0 + 1) / fps_
+            vio_ts = (self._last_ts, tsA, tsB)
         t_start = time.perf_counter()
         new_state, fA, iA, fB, iB = self._step_frames2(
             self._pp, self.state, f0, f1, f2, self._effective_scale())
@@ -1281,15 +1298,19 @@ class Tracker:
             b.copy_to_host_async()
         # record the PREVIOUS pair while this one computes
         self._drain_pending_q()
-        fps = self.cam.fps
         base = self.frame_id
+        if timestamps is not None:
+            recA, recB = float(timestamps[0]), float(timestamps[1])
+        else:
+            fps = self.cam.fps
+            recA, recB = base / fps, (base + 1) / fps
         gA, gB = (None, None) if Tcw_gt is None else Tcw_gt
         dt = time.perf_counter() - t_start
-        self._pending_q.append(((fA, iA), base / fps,
+        self._pending_q.append(((fA, iA), recA,
                                 None if gA is None else np.asarray(gA), dt))
-        self._pending_q.append(((fB, iB), (base + 1) / fps,
+        self._pending_q.append(((fB, iB), recB,
                                 None if gB is None else np.asarray(gB), dt))
-        self._last_ts = (base + 1) / fps
+        self._last_ts = recB
         return self.state.Tcw     # lazy device array (see _post_step)
 
     def _drain_pending_q(self):
