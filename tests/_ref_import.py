@@ -22,6 +22,7 @@ import os
 import sys
 import types
 
+import numpy as np
 import torch
 import torch.nn as nn
 
@@ -552,3 +553,133 @@ def load_ref_maskrcnn():
     })
     sys.modules["maskrcnn_benchmark"]._vido_loaded = out
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full reference detection pipeline on CPU: anchor generation + RPN
+# post-processing + box/mask post-processing, executed from /root/reference
+# source with only the CUDA nms swapped for a CPU re-expression of
+# csrc/cuda/nms.cu semantics (keep indices in descending-score order, +1
+# box areas, suppress at IoU >= threshold). Used for detection-output-level
+# whole-net parity (X-101 / R-50).
+# ---------------------------------------------------------------------------
+
+def cuda_nms_semantics(boxes: "torch.Tensor", scores: "torch.Tensor",
+                       threshold: float) -> "torch.Tensor":
+    """CPU re-expression of csrc/cuda/nms.cu: greedy suppression over
+    descending scores, Detectron +1 areas, returns kept indices in
+    score order (the deployed GPU path's order, unlike nms_cpu.cpp which
+    returns original order)."""
+    order = torch.argsort(scores, descending=True)
+    b = boxes[order].numpy()
+    areas = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+    n = b.shape[0]
+    suppressed = np.zeros(n, bool)
+    keep = []
+    for i in range(n):
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(b[i, 0], b[i + 1:, 0])
+        yy1 = np.maximum(b[i, 1], b[i + 1:, 1])
+        xx2 = np.minimum(b[i, 2], b[i + 1:, 2])
+        yy2 = np.minimum(b[i, 3], b[i + 1:, 3])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        iou = inter / (areas[i] + areas[i + 1:] - inter)
+        suppressed[i + 1:] |= iou >= threshold
+    return order[torch.as_tensor(keep, dtype=torch.long)]
+
+
+def load_ref_maskrcnn_full(x101: bool = False):
+    """load_ref_maskrcnn + the reference's full inference path: returns
+    (cfg, mods) where mods additionally carries make_anchor_generator,
+    make_rpn_postprocessor, make_roi_box_post_processor,
+    make_roi_mask_post_processor, BoxCoder, ImageList, BoxList.
+    `x101=True` reconfigures the cfg for X-101-32x8d (R-101-FPN conv body,
+    groups=32, width 8, stride NOT in 1x1 — the caffe2 yaml)."""
+    cfg, mods = load_ref_maskrcnn()
+    if x101:
+        cfg.MODEL.BACKBONE.CONV_BODY = "R-101-FPN"
+        cfg.MODEL.RESNETS.NUM_GROUPS = 32
+        cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 8
+        cfg.MODEL.RESNETS.STRIDE_IN_1X1 = False
+    else:
+        cfg.MODEL.BACKBONE.CONV_BODY = "R-50-FPN"
+        cfg.MODEL.RESNETS.NUM_GROUPS = 1
+        cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 64
+        cfg.MODEL.RESNETS.STRIDE_IN_1X1 = True
+    # inference-path config (caffe2 e2e yamls over config/defaults.py)
+    cfg.MODEL.RPN.update(dict(
+        USE_FPN=True,
+        ANCHOR_SIZES=(32, 64, 128, 256, 512),
+        ANCHOR_STRIDE=(4, 8, 16, 32, 64),
+        ASPECT_RATIOS=(0.5, 1.0, 2.0),
+        STRADDLE_THRESH=0,
+        PRE_NMS_TOP_N_TRAIN=2000,
+        POST_NMS_TOP_N_TRAIN=2000,
+        FPN_POST_NMS_TOP_N_TRAIN=2000,
+        PRE_NMS_TOP_N_TEST=1000,
+        POST_NMS_TOP_N_TEST=1000,
+        FPN_POST_NMS_TOP_N_TEST=1000,
+        FPN_POST_NMS_PER_BATCH=True,
+        NMS_THRESH=0.7,
+        MIN_SIZE=0,
+    ))
+    cfg.MODEL.ROI_HEADS = _AttrDict(
+        USE_FPN=True,
+        BBOX_REG_WEIGHTS=(10.0, 10.0, 5.0, 5.0),
+        SCORE_THRESH=0.05,
+        NMS=0.5,
+        DETECTIONS_PER_IMG=100,
+    )
+    cfg.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS = False
+    cfg.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS_THRESHOLD = 0.5
+    cfg.TEST = _AttrDict(BBOX_AUG=_AttrDict(ENABLED=False))
+
+    if "full" in mods:
+        return cfg, mods
+
+    layers = sys.modules["maskrcnn_benchmark.layers"]
+    layers.nms = cuda_nms_semantics
+    # mask_head/inference imports maskrcnn_benchmark.layers.misc directly
+    sys.modules["maskrcnn_benchmark.layers.misc"] = \
+        sys.modules["maskrcnn_benchmark._vido_misc"]
+
+    structures = _stub_module("maskrcnn_benchmark.structures")
+    structures.__path__ = []
+    _exec_pkg_module("maskrcnn_benchmark.structures.bounding_box",
+                     f"{MRB}/structures/bounding_box.py")
+    _exec_pkg_module("maskrcnn_benchmark.structures.boxlist_ops",
+                     f"{MRB}/structures/boxlist_ops.py")
+    if "memory_profiler" not in sys.modules:  # image_list.py imports it
+        _stub_module("memory_profiler", profile=lambda f: f)
+    il = _exec_pkg_module("maskrcnn_benchmark.structures.image_list",
+                          f"{MRB}/structures/image_list.py")
+    _exec_pkg_module("maskrcnn_benchmark.modeling.rpn.utils",
+                     f"{MRB}/modeling/rpn/utils.py")
+    ag = _exec_pkg_module("maskrcnn_benchmark.modeling.rpn.anchor_generator",
+                          f"{MRB}/modeling/rpn/anchor_generator.py")
+    # generate_anchors uses the np.float alias removed in numpy>=1.24;
+    # give the module its own np namespace with the alias restored
+    ag.np = types.SimpleNamespace(**{**np.__dict__, "float": float})
+    ri = _exec_pkg_module("maskrcnn_benchmark.modeling.rpn.inference",
+                          f"{MRB}/modeling/rpn/inference.py")
+    bi = _exec_pkg_module(
+        "maskrcnn_benchmark.modeling.roi_heads.box_head.inference",
+        f"{MRB}/modeling/roi_heads/box_head/inference.py")
+    mi = _exec_pkg_module(
+        "maskrcnn_benchmark.modeling.roi_heads.mask_head.inference",
+        f"{MRB}/modeling/roi_heads/mask_head/inference.py")
+    bc = sys.modules["maskrcnn_benchmark.modeling.box_coder"]
+    bb_mod = sys.modules["maskrcnn_benchmark.structures.bounding_box"]
+    mods["full"] = True
+    mods["make_anchor_generator"] = ag.make_anchor_generator
+    mods["make_rpn_postprocessor"] = ri.make_rpn_postprocessor
+    mods["make_roi_box_post_processor"] = bi.make_roi_box_post_processor
+    mods["make_roi_mask_post_processor"] = mi.make_roi_mask_post_processor
+    mods["BoxCoder"] = bc.BoxCoder
+    mods["ImageList"] = il.ImageList
+    mods["BoxList"] = bb_mod.BoxList
+    return cfg, mods

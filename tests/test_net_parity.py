@@ -277,3 +277,254 @@ class TestMaskRCNNWholeNet:
             params, [jnp.asarray(to_nhwc(f))[0] for f in feats[:4]], det)
         np.testing.assert_allclose(
             np.asarray(ours), ref_sel, atol=2e-4, rtol=1e-3)
+
+
+
+
+class TestX101WholeNet:
+    """Whole-net X-101-32x8d forward parity — the configuration the
+    reference ROS node deploys (run_mask_rcnn.py:30: NUM_GROUPS=32,
+    WIDTH_PER_GROUP=8, STRIDE_IN_1X1=False, R-101-FPN conv body). The
+    ResNeXt backbone+FPN and both ROI heads run end to end against the
+    reference modules with converted random weights; combined with
+    TestDetectionPostprocessParity below, this proves the X-101 detection
+    output compositionally (forward activations to ~1e-4 + identical
+    postprocessing decisions on identical inputs)."""
+
+    H, W = 128, 160
+
+    @pytest.fixture(scope="class")
+    def built(self):
+        from _ref_import import load_ref_maskrcnn_full
+        cfg, mods = load_ref_maskrcnn_full(x101=True)
+        torch.manual_seed(0)
+        bb = mods["build_backbone"](cfg).eval()
+        randomize_module(bb, seed=30)
+        params = convert_state_dict(
+            {f"backbone.{k}": v for k, v in bb.state_dict().items()})
+        return cfg, mods, bb, params
+
+    def test_x101_backbone_fpn_parity(self, built):
+        from vido_slam_tpu.models.maskrcnn.backbone import (
+            ResNetConfig, fpn_forward, resnet_stages)
+        cfg, mods, bb, params = built
+        torch.manual_seed(40)
+        x = torch.randn(1, 3, self.H, self.W)
+        with torch.no_grad():
+            ref_feats = bb(x)
+        rcfg = ResNetConfig(stage_blocks=(3, 4, 23, 3), num_groups=32,
+                            width_per_group=8, stride_in_1x1=False)
+        ours = fpn_forward(params, resnet_stages(
+            params, jnp.asarray(to_nhwc(x)), rcfg))
+        assert len(ref_feats) == len(ours) == 5
+        for rf, of in zip(ref_feats, ours):
+            np.testing.assert_allclose(
+                np.asarray(of), to_nhwc(rf), atol=5e-4, rtol=1e-3)
+
+    def test_x101_heads_parity(self, built):
+        from _ref_import import FakeBoxList
+        from vido_slam_tpu.models.maskrcnn.roi_heads import (
+            Detections, box_head_forward, mask_head_forward)
+        from vido_slam_tpu.models.maskrcnn.rpn import rpn_head
+
+        cfg, mods, bb, params = built
+        torch.manual_seed(41)
+        head = mods["RPNHead"](cfg, 256, 3).eval()
+        box_fe = mods["FPN2MLPFeatureExtractor"](cfg, 256).eval()
+        box_pred = mods["FPNPredictor"](cfg, 1024).eval()
+        mask_fe = mods["MaskRCNNFPNFeatureExtractor"](cfg, 256).eval()
+        mask_pred = mods["MaskRCNNC4Predictor"](cfg, 256).eval()
+        for i, m in enumerate([head, box_fe, box_pred, mask_fe, mask_pred]):
+            randomize_module(m, seed=31 + i)
+        params = dict(params)
+        params.update(convert_state_dict(
+            {f"rpn.head.{k}": v for k, v in head.state_dict().items()}))
+        params.update(convert_state_dict(
+            {f"roi_heads.box.feature_extractor.{k}": v
+             for k, v in box_fe.state_dict().items()}))
+        params.update(convert_state_dict(
+            {f"roi_heads.box.predictor.{k}": v
+             for k, v in box_pred.state_dict().items()}))
+        params.update(convert_state_dict(
+            {f"roi_heads.mask.feature_extractor.{k}": v
+             for k, v in mask_fe.state_dict().items()}))
+        params.update(convert_state_dict(
+            {f"roi_heads.mask.predictor.{k}": v
+             for k, v in mask_pred.state_dict().items()}))
+
+        rng = np.random.RandomState(7)
+        R = 8
+        x1 = rng.uniform(0, self.W * 0.6, R)
+        y1 = rng.uniform(0, self.H * 0.6, R)
+        boxes = np.stack(
+            [x1, y1,
+             np.minimum(x1 + rng.uniform(8, self.W * 0.9, R), self.W - 1),
+             np.minimum(y1 + rng.uniform(8, self.H * 0.9, R), self.H - 1)],
+            1).astype(np.float32)
+        labels = np.arange(1, R + 1, dtype=np.int32)
+
+        torch.manual_seed(42)
+        x = torch.randn(1, 3, self.H, self.W)
+        with torch.no_grad():
+            feats = bb(x)
+            ref_logits, ref_deltas = head(feats)
+            pooled = box_fe(feats, [FakeBoxList(torch.from_numpy(boxes))])
+            ref_cls, ref_box = box_pred(pooled)
+            mx = mask_fe(feats, [FakeBoxList(torch.from_numpy(boxes))])
+            ref_mask = torch.sigmoid(mask_pred(mx)).numpy()
+        ref_sel = ref_mask[np.arange(R), labels]
+
+        from vido_slam_tpu.models.maskrcnn.backbone import (
+            ResNetConfig, fpn_forward, resnet_stages)
+        rcfg = ResNetConfig(stage_blocks=(3, 4, 23, 3), num_groups=32,
+                            width_per_group=8, stride_in_1x1=False)
+        ours = fpn_forward(params, resnet_stages(
+            params, jnp.asarray(to_nhwc(x)), rcfg))
+        for li, f in enumerate(ours):
+            lg, dl = rpn_head(params, f, 3)
+            np.testing.assert_allclose(
+                np.asarray(lg), to_nhwc(ref_logits[li]),
+                atol=5e-4, rtol=1e-3)
+        my_cls, my_box = box_head_forward(
+            params, [f[0] for f in ours[:4]], jnp.asarray(boxes))
+        np.testing.assert_allclose(np.asarray(my_cls), ref_cls.numpy(),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(my_box).reshape(ref_box.shape), ref_box.numpy(),
+            atol=1e-3, rtol=1e-3)
+        det = Detections(boxes=jnp.asarray(boxes), scores=jnp.ones(R),
+                         labels=jnp.asarray(labels),
+                         valid=jnp.ones(R, bool))
+        my_mask = mask_head_forward(params, [f[0] for f in ours[:4]], det)
+        np.testing.assert_allclose(np.asarray(my_mask), ref_sel,
+                                   atol=1e-3)
+
+
+class TestDetectionPostprocessParity:
+    """The detector's DECISION stages vs the reference code on IDENTICAL
+    inputs: anchor generation, RPN proposal selection (per-level top-k ->
+    decode -> clip -> NMS -> cross-level top-k) and box post-processing
+    (softmax -> per-class decode -> score gate -> per-class NMS -> global
+    cap). With identical inputs there is no float-drift chaos through the
+    hard top-k/NMS decisions, so parity is asserted (near-)exactly. The
+    reference side executes rpn/inference.py, box_head/inference.py and
+    anchor_generator.py from /root/reference with deployed-GPU nms
+    semantics (_ref_import.cuda_nms_semantics)."""
+
+    H, W = 192, 224
+
+    @pytest.fixture(scope="class")
+    def refmods(self):
+        from _ref_import import load_ref_maskrcnn_full
+        return load_ref_maskrcnn_full(x101=False)
+
+    def test_anchor_parity(self, refmods):
+        from vido_slam_tpu.models.maskrcnn.rpn import (
+            ANCHOR_SIZES, ANCHOR_STRIDES, generate_cell_anchors,
+            grid_anchors)
+        cfg, mods = refmods
+        gen = mods["make_anchor_generator"](cfg)
+        x = torch.zeros(1, 3, self.H, self.W)
+        images = mods["ImageList"](x, [(self.H, self.W)])
+        feats = [torch.zeros(1, 1, self.H // s, self.W // s)
+                 for s in ANCHOR_STRIDES]
+        anchors = gen(images, feats)[0]   # list per level
+        for li, a in enumerate(anchors):
+            stride = ANCHOR_STRIDES[li]
+            cell = generate_cell_anchors(stride, ANCHOR_SIZES[li])
+            mine = grid_anchors(self.H // stride, self.W // stride,
+                                stride, cell)
+            np.testing.assert_allclose(np.asarray(mine), a.bbox.numpy(),
+                                       atol=1e-4)
+
+    def test_rpn_postprocess_parity(self, refmods):
+        from vido_slam_tpu.models.maskrcnn.rpn import (
+            ANCHOR_SIZES, ANCHOR_STRIDES, generate_cell_anchors,
+            grid_anchors, select_over_all_levels, select_proposals_level)
+        cfg, mods = refmods
+        gen = mods["make_anchor_generator"](cfg)
+        x = torch.zeros(1, 3, self.H, self.W)
+        images = mods["ImageList"](x, [(self.H, self.W)])
+        rng = np.random.RandomState(3)
+        feats, logits, deltas = [], [], []
+        for s in ANCHOR_STRIDES:
+            h, w = self.H // s, self.W // s
+            feats.append(torch.zeros(1, 1, h, w))
+            logits.append(torch.from_numpy(
+                rng.randn(1, 3, h, w).astype(np.float32)))
+            deltas.append(torch.from_numpy(
+                (rng.randn(1, 12, h, w) * 0.5).astype(np.float32)))
+        anchors = gen(images, feats)
+        post = mods["make_rpn_postprocessor"](
+            cfg, mods["BoxCoder"](weights=(1.0, 1.0, 1.0, 1.0)),
+            is_train=False)
+        post.eval()
+        with torch.no_grad():
+            ref = post(anchors, logits, deltas)[0]
+        rb = ref.bbox.numpy()
+        rs = ref.get_field("objectness").numpy()
+
+        lvl_b, lvl_s, lvl_v = [], [], []
+        for li, s in enumerate(ANCHOR_STRIDES):
+            h, w = self.H // s, self.W // s
+            cell = generate_cell_anchors(s, ANCHOR_SIZES[li])
+            anch = jnp.asarray(grid_anchors(h, w, s, cell))
+            # NCHW (1, A, h, w) -> flat in the reference's
+            # permute_and_flatten order (H, W, A)
+            obj = jnp.asarray(
+                logits[li].numpy().transpose(0, 2, 3, 1).reshape(-1))
+            dl = jnp.asarray(
+                deltas[li].numpy().reshape(1, 3, 4, h, w)
+                .transpose(0, 3, 4, 1, 2).reshape(-1, 4))
+            b, sc, v = select_proposals_level(obj, dl, anch, self.H, self.W)
+            lvl_b.append(b); lvl_s.append(sc); lvl_v.append(v)
+        props, pscores, pvalid = select_over_all_levels(lvl_b, lvl_s, lvl_v)
+        pv = np.asarray(pvalid)
+        mb = np.asarray(props)[pv]
+        ms = np.asarray(pscores)[pv]
+
+        assert len(ms) == len(rs)
+        mo = np.argsort(-ms); ro = np.argsort(-rs)
+        np.testing.assert_allclose(ms[mo], rs[ro], atol=1e-5)
+        np.testing.assert_allclose(mb[mo], rb[ro], atol=1e-2)
+
+    def test_box_postprocess_parity(self, refmods):
+        from vido_slam_tpu.models.maskrcnn.roi_heads import (
+            postprocess_detections)
+        cfg, mods = refmods
+        rng = np.random.RandomState(5)
+        R, C = 64, 81
+        x1 = rng.uniform(0, self.W * 0.6, R)
+        y1 = rng.uniform(0, self.H * 0.6, R)
+        proposals = np.stack(
+            [x1, y1,
+             np.minimum(x1 + rng.uniform(8, self.W, R), self.W - 1),
+             np.minimum(y1 + rng.uniform(8, self.H, R), self.H - 1)],
+            1).astype(np.float32)
+        logits = rng.randn(R, C).astype(np.float32) * 2.0
+        deltas = (rng.randn(R, C * 4) * 0.3).astype(np.float32)
+
+        post = mods["make_roi_box_post_processor"](cfg)
+        post.eval()
+        bl = mods["BoxList"](torch.from_numpy(proposals),
+                             (self.W, self.H), mode="xyxy")
+        with torch.no_grad():
+            ref = post((torch.from_numpy(logits),
+                        torch.from_numpy(deltas)), [bl])[0]
+        rb = ref.bbox.numpy()
+        rs = ref.get_field("scores").numpy()
+        rl = ref.get_field("labels").numpy()
+
+        det = postprocess_detections(
+            jnp.asarray(logits), jnp.asarray(deltas.reshape(R, C, 4)),
+            jnp.asarray(proposals), jnp.ones(R, bool), self.H, self.W)
+        v = np.asarray(det.valid)
+        mb = np.asarray(det.boxes)[v]
+        ms = np.asarray(det.scores)[v]
+        ml = np.asarray(det.labels)[v]
+
+        assert len(ms) == len(rs)
+        mo = np.argsort(-ms); ro = np.argsort(-rs)
+        np.testing.assert_allclose(ms[mo], rs[ro], atol=1e-5)
+        assert (ml[mo] == rl[ro]).all()
+        np.testing.assert_allclose(mb[mo], rb[ro], atol=1e-2)
