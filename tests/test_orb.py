@@ -122,6 +122,41 @@ class TestDescriptors:
         assert ham > 60
 
 
+class TestCanonicalPattern:
+    def test_pattern_is_the_reference_table(self):
+        # spot-check the first/last learned pairs of bit_pattern_31_
+        # (ORBextractor.cc:141-393) and the table's documented range
+        from vido_slam_tpu.ops.orb import _PATTERN
+        assert _PATTERN.shape == (256, 2, 2)
+        assert _PATTERN[0].tolist() == [[8, -3], [9, 5]]
+        assert _PATTERN[1].tolist() == [[4, 2], [7, -12]]
+        assert _PATTERN[255].tolist() == [[-1, -6], [0, -11]]
+        assert _PATTERN.min() == -13 and _PATTERN.max() == 12
+
+    def test_descriptor_matches_numpy_oracle(self):
+        # direct numpy evaluation of computeOrbDescriptor's semantics
+        # (ORBextractor.cc:105-147): rotate each test pair by the keypoint
+        # angle (col = round(x cos - y sin), row = round(x sin + y cos)),
+        # compare intensities, pack LSB-first into 32 bytes
+        from vido_slam_tpu.ops.orb import _PATTERN
+        img = textured(96, 96, seed=11)
+        pts = np.asarray([[40.0, 50.0], [60.0, 30.0], [48.0, 48.0]])
+        angs = np.asarray([0.0, 0.7, -2.1])
+        got = np.asarray(steered_brief(jnp.asarray(img), jnp.asarray(pts),
+                                       jnp.asarray(angs)))
+        for k, ((u, v), th) in enumerate(zip(pts, angs)):
+            ca, sa = np.cos(th), np.sin(th)
+            want = np.zeros(32, np.uint8)
+            for i in range(256):
+                vals = []
+                for (x, y) in _PATTERN[i]:
+                    c = int(np.rint(u + x * ca - y * sa))
+                    r = int(np.rint(v + x * sa + y * ca))
+                    vals.append(img[r, c])
+                want[i // 8] |= np.uint8(int(vals[0] < vals[1]) << (i % 8))
+            np.testing.assert_array_equal(got[k], want)
+
+
 class TestMatching:
     def test_translation_matching(self):
         img = textured(160, 200, seed=7)

@@ -19,11 +19,12 @@ TPU-first redesign, no per-keypoint control flow:
 - orientation: the circular-patch image moments m01/m10 are two 31x31
   convolutions over the whole level image (one fused conv with 2 output
   channels), then a gather at the keypoints — no per-keypoint patch loops;
-- descriptors: steered BRIEF over a seeded-Gaussian 256-pair pattern
-  (BRIEF's original N(0, (patch/5)^2) sampling; the reference's learned
-  pattern table is not copied — descriptors are self-consistent, and
-  nothing downstream matches against OpenCV bit layouts), sampled with one
-  (N, 512) gather after rotating the pattern by each keypoint's angle;
+- descriptors: steered BRIEF over the canonical learned 256-pair test
+  table `bit_pattern_31_` (ORBextractor.cc:140-438 — a published constant
+  table, transcribed to `orb_pattern.npy`, not code), sampled with one
+  (N, 512) gather after rotating the pattern by each keypoint's angle, so
+  descriptors are bit-compatible with the reference's computeOrbDescriptor
+  (ORBextractor.cc:105-147) semantics;
 - matching: brute-force Hamming via `lax.population_count` with ratio and
   cross-check options.
 """
@@ -78,12 +79,14 @@ def features_per_level(n: int, n_levels: int = N_LEVELS,
     return counts
 
 
-def _brief_pattern(seed: int = 17) -> np.ndarray:
-    """(256, 2, 2) int32 point pairs, isotropic Gaussian sigma = patch/5
-    clipped to the patch (the BRIEF sampling strategy; deterministic)."""
-    rng = np.random.RandomState(seed)
-    pts = rng.randn(256, 2, 2) * (PATCH_SIZE / 5.0)
-    return np.clip(np.round(pts), -(HALF_PATCH - 2), HALF_PATCH - 2).astype(np.int32)
+def _brief_pattern() -> np.ndarray:
+    """(256, 2, 2) int32 point pairs [(x0,y0),(x1,y1)] per bit: the learned
+    ORB test-pair table `bit_pattern_31_` (ORBextractor.cc:140-438),
+    transcribed as a data file. All offsets lie within +/-13 of the center,
+    inside the radius-15 orientation patch."""
+    pat = np.load(__file__.replace("orb.py", "orb_pattern.npy"))
+    assert pat.shape == (256, 2, 2) and pat.dtype == np.int32
+    return pat
 
 
 _PATTERN = _brief_pattern()
