@@ -327,32 +327,49 @@ class TestEngineIntegration:
         assert changed
 
     def test_sharded_inference_to_coco_map(self, coco_dir):
+        """Sharded predict -> gather -> FULL COCO protocol (bbox + segm),
+        and parity with the single-device path on the same inputs
+        (engine/inference.py:11-86 counterpart, VERDICT r3 item 6)."""
         import jax
         import jax.numpy as jnp
         from vido_slam_tpu.models.maskrcnn.model import (
-            MaskRCNNConfig, init_maskrcnn_params)
-        from vido_slam_tpu.parallel.eval import sharded_detection_inference
+            MaskRCNNConfig, init_maskrcnn_params, maskrcnn_inference)
+        from vido_slam_tpu.parallel.eval import (
+            predictions_from_output, sharded_coco_evaluation)
         from vido_slam_tpu.parallel.mesh import make_mesh
 
         root, ann_file = coco_dir
         ds = CocoDetectionDataset(ann_file, root, input_hw=(64, 96),
-                                  max_boxes=8)
+                                  max_boxes=8, mask_hw=(64, 96))
         mesh = make_mesh(2, dp=2, tp=1)  # see train-step test: rendezvous load
         cfg = MaskRCNNConfig(resnet=TINY_RESNET, input_h=64, input_w=96)
         params = init_maskrcnn_params(jax.random.PRNGKey(0), cfg)
         b = ds.batch(np.resize(np.arange(len(ds)), 2))
-        out = sharded_detection_inference(
-            mesh, params, jnp.asarray(b["image"]), cfg)
-        assert out.boxes.shape[0] == 2
-        preds, gts = [], []
+        gts = []
         for i in range(2):
-            v = np.asarray(out.valid[i])
-            preds.append({"boxes": np.asarray(out.boxes[i])[v],
-                          "labels": np.asarray(out.labels[i])[v],
-                          "scores": np.asarray(out.scores[i])[v]})
             gv = b["valid"][i]
             gts.append({"boxes": b["boxes"][i][gv],
-                        "labels": b["labels"][i][gv]})
-        m = coco_map(preds, gts)
-        # random weights -> no requirement on value, only on protocol sanity
-        assert set(m) >= {"mAP", "AP50", "AP75", "per_category"}
+                        "labels": b["labels"][i][gv],
+                        "masks": np.asarray(b["masks"][i][gv]) > 0.5})
+        m = sharded_coco_evaluation(
+            mesh, params, jnp.asarray(b["image"]), cfg, gts)
+        # random weights -> no requirement on value, only on protocol shape
+        assert set(m) == {"bbox", "segm"}
+        for t in ("bbox", "segm"):
+            assert set(m[t]) >= {"mAP", "AP50", "AP75", "APsmall",
+                                 "APmedium", "APlarge", "AR100",
+                                 "per_category"}
+
+        # multi-chip eval == single-device eval on the same inputs
+        single = [maskrcnn_inference(params, b["image"][i][None], cfg)
+                  for i in range(2)]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *single)
+        preds1 = predictions_from_output(stacked, (64, 96))
+        m1 = {t: coco_map(preds1, gts, iou_type=t)
+              for t in ("bbox", "segm")}
+        for t in ("bbox", "segm"):
+            for k in ("mAP", "AP50", "AP75"):
+                a, bb = m[t][k], m1[t][k]
+                assert (np.isnan(a) and np.isnan(bb)) or abs(a - bb) < 1e-9, \
+                    (t, k, a, bb)

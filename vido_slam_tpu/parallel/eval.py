@@ -113,6 +113,96 @@ def sharded_detection_inference(mesh: Mesh, params, images: jnp.ndarray,
         return run(params, images)
 
 
+def paste_instance_masks_np(boxes, masks28, valid, out_hw, in_hw,
+                            mask_threshold: float = 0.5) -> np.ndarray:
+    """Per-instance full-image binary masks, host numpy — the Masker of
+    the reference's eval prep (inference.py expand_boxes scale
+    (28+2)/28, pad 1, bilinear resize over the box, threshold 0.5), with
+    the same separable-bilinear sampling grid as paste_semantic_mask.
+    boxes (D, 4) in model-input coords; returns (D, out_h, out_w) bool."""
+    out_h, out_w = out_hw
+    in_h, in_w = in_hw
+    boxes = np.asarray(boxes, np.float64) * np.asarray(
+        [out_w / in_w, out_h / in_h, out_w / in_w, out_h / in_h])
+    masks = np.pad(np.asarray(masks28, np.float64),
+                   ((0, 0), (1, 1), (1, 1)))  # (D, 30, 30)
+    valid = np.asarray(valid, bool)
+    D = boxes.shape[0]
+    out = np.zeros((D, out_h, out_w), bool)
+    ks = np.arange(30, dtype=np.float64)
+    xs = np.arange(out_w, dtype=np.float64)
+    ys = np.arange(out_h, dtype=np.float64)
+    for d in range(D):
+        if not valid[d]:
+            continue
+        x0, y0, x1, y1 = boxes[d]
+        cx, cy = (x0 + x1) * 0.5, (y0 + y1) * 0.5
+        hw = (x1 - x0) * 0.5 * (30.0 / 28.0)
+        hh = (y1 - y0) * 0.5 * (30.0 / 28.0)
+        bx0, bx1, by0, by1 = cx - hw, cx + hw, cy - hh, cy + hh
+        w = max(bx1 - bx0 + 1, 1.0)
+        h = max(by1 - by0 + 1, 1.0)
+        u = np.clip((xs - bx0 + 0.5) / w * 30.0 - 0.5, 0.0, 29.0)
+        v = np.clip((ys - by0 + 0.5) / h * 30.0 - 0.5, 0.0, 29.0)
+        Rx = np.maximum(0.0, 1.0 - np.abs(u[:, None] - ks))  # (W, 30)
+        Ry = np.maximum(0.0, 1.0 - np.abs(v[:, None] - ks))  # (H, 30)
+        val = Ry @ masks[d] @ Rx.T
+        inside = ((ys[:, None] >= by0) & (ys[:, None] <= by1)
+                  & (xs[None, :] >= bx0) & (xs[None, :] <= bx1))
+        out[d] = (val > mask_threshold) & inside
+    return out
+
+
+def predictions_from_output(out, in_hw, out_hw=None, with_masks=True):
+    """Gathered MaskRCNNOutput with leading batch dim -> the per-image
+    prediction dicts `data/coco_eval.compute_map` consumes. Drops invalid
+    slots; rescales boxes from model-input to `out_hw` coordinates and
+    pastes per-instance binary masks (prepare_for_coco_segmentation's
+    role in the reference eval)."""
+    in_h, in_w = in_hw
+    out_h, out_w = out_hw if out_hw is not None else in_hw
+    sx, sy = out_w / in_w, out_h / in_h
+    boxes = np.asarray(out.boxes)
+    scores = np.asarray(out.scores)
+    labels = np.asarray(out.labels)
+    valid = np.asarray(out.valid).astype(bool)
+    masks28 = np.asarray(out.masks28)
+    preds = []
+    for i in range(boxes.shape[0]):
+        v = valid[i]
+        p = {
+            "boxes": boxes[i][v] * np.asarray([sx, sy, sx, sy]),
+            "scores": scores[i][v],
+            "labels": labels[i][v],
+        }
+        if with_masks:
+            p["masks"] = paste_instance_masks_np(
+                boxes[i][v], masks28[i][v], np.ones(int(v.sum()), bool),
+                (out_h, out_w), in_hw)
+        preds.append(p)
+    return preds
+
+
+def sharded_coco_evaluation(mesh: Mesh, params, images, cfg, ground_truth,
+                            out_hw=None, iou_types=("bbox", "segm")):
+    """The TPU-native counterpart of the reference's distributed eval loop
+    (engine/inference.py:11-86): dp-shard the image batch, run the model
+    per shard, gather (GSPMD replication = _accumulate_predictions_from_
+    multiple_gpus), and score with the FULL COCO protocol
+    (data/coco_eval.compute_map) for each iou_type.
+
+    Returns {iou_type: metrics dict} with mAP/AP50/AP75/APsmall..AR100."""
+    from vido_slam_tpu.data.coco_eval import compute_map
+
+    out = sharded_detection_inference(mesh, params, images, cfg)
+    preds = predictions_from_output(
+        out, (cfg.input_h, cfg.input_w), out_hw,
+        with_masks="segm" in iou_types)
+    return {
+        t: compute_map(preds, ground_truth, iou_type=t) for t in iou_types
+    }
+
+
 def detection_ap50(pred_boxes, pred_scores, pred_valid,
                    gt_boxes, gt_valid) -> float:
     """Single-class average precision at IoU 0.5 over a gathered batch —
