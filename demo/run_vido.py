@@ -30,6 +30,12 @@ def main():
                     help="write an animated 3D scene recording "
                     "(scene_3d.gif) alongside the result files — the "
                     "headless counterpart of the live Pangolin viewer")
+    ap.add_argument("--view", action="store_true",
+                    help="live 3D scene viewer (VidoViewer counterpart); "
+                    "starts RUNNING, space pauses the display only — the "
+                    "pipeline is never gated; no-op on headless hosts")
+    ap.add_argument("--view-every", type=int, default=5,
+                    help="redraw the live viewer every N frames")
     args = ap.parse_args()
 
     from vido_slam_tpu.config import load_config
@@ -88,6 +94,14 @@ def main():
 
     import cv2
 
+    viewer = None
+    if args.view:
+        from vido_slam_tpu.viz import LiveViewer
+
+        viewer = LiveViewer(every=args.view_every)
+        if not viewer._ok:
+            print(f"live viewer disabled: {viewer.disabled_reason}")
+
     last_t = None
     for i, fr in enumerate(frames):
         if kitti:
@@ -123,6 +137,9 @@ def main():
             if i % 10 == 0:
                 print(f"frame {i}/{len(frames)} t={fr.timestamp:.2f} "
                       f"pos={np.linalg.inv(Tcw)[:3, 3]}")
+            if viewer is not None and system.tracker is not None \
+                    and len(system.tracker.map) > 1:
+                viewer.update(system.tracker.map)
             continue
         if perception is not None:
             if prev_bgr is None:
@@ -154,7 +171,12 @@ def main():
         if i % 10 == 0:
             print(f"frame {i}/{len(frames)} t={fr.timestamp:.2f} "
                   f"pos={np.linalg.inv(Tcw)[:3, 3]}")
+        if viewer is not None and system.tracker is not None \
+                and len(system.tracker.map) > 1:
+            viewer.update(system.tracker.map)
 
+    if viewer is not None:
+        viewer.close()
     os.makedirs(args.output, exist_ok=True)
     system.SaveResultsIJRR2020(os.path.join(args.output, ""))
     if args.animate and system.tracker is not None \

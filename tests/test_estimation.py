@@ -76,6 +76,54 @@ class TestLM:
         np.testing.assert_allclose(res.x, [2.0, 1.0], atol=1e-3)
 
 
+class TestGNAndDogleg:
+    """g2o ships three optimization algorithms (optimization_algorithm_
+    {levenberg,gauss_newton,dogleg}.h); the reference pipeline constructs
+    only Levenberg — GN/Dogleg are API-completeness counterparts and must
+    reach the same optimum as LM on a well-conditioned problem."""
+
+    def _fit(self, solver, **kw):
+        from vido_slam_tpu.estimation.lm import dogleg_solve, gn_solve
+        x = jnp.linspace(0, 1, 50)
+        y = 2.0 * jnp.exp(-1.3 * x) + 0.05 * jnp.sin(37 * x)
+
+        def residual(p):
+            return (p[0] * jnp.exp(-p[1] * x) - y)[:, None]
+
+        return solver(residual, jnp.asarray([1.0, 0.0]), max_iters=50, **kw)
+
+    def test_gn_matches_lm(self):
+        from vido_slam_tpu.estimation.lm import gn_solve
+        r_lm = self._fit(lm_solve)
+        r_gn = self._fit(gn_solve)
+        np.testing.assert_allclose(r_gn.x, r_lm.x, atol=1e-3)
+        assert abs(float(r_gn.cost) - float(r_lm.cost)) < 1e-6
+
+    def test_dogleg_matches_lm(self):
+        from vido_slam_tpu.estimation.lm import dogleg_solve
+        r_lm = self._fit(lm_solve)
+        r_dl = self._fit(dogleg_solve)
+        np.testing.assert_allclose(r_dl.x, r_lm.x, atol=1e-3)
+
+    def test_dogleg_trust_region_bounds_first_step(self):
+        from vido_slam_tpu.estimation.lm import dogleg_solve
+        # a tiny trust radius must still converge (radius grows on good steps)
+        r = self._fit(dogleg_solve, trust_radius=1e-3)
+        np.testing.assert_allclose(r.x, [2.0107, 1.3137], atol=5e-3)
+
+    def test_gn_respects_mask_and_huber(self):
+        from vido_slam_tpu.estimation.lm import gn_solve
+        x = jnp.linspace(0, 1, 50)
+        y = (2.0 * x + 1.0).at[0].set(100.0)
+        mask = jnp.ones(50, bool).at[0].set(False)
+
+        def residual(p):
+            return (p[0] * x + p[1] - y)[:, None]
+
+        r = gn_solve(residual, jnp.zeros(2), mask=mask, max_iters=50)
+        np.testing.assert_allclose(r.x, [2.0, 1.0], atol=1e-3)
+
+
 class TestPoseOptimization:
     def test_recovers_exact_pose(self):
         cam, pts_w = synthetic_scene(jax.random.PRNGKey(0))

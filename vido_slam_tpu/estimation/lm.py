@@ -253,3 +253,171 @@ def lm_solve(
     it, x, lam, ni, cost, H, g, done = lax.while_loop(cond, body, init)
     _, _, chi2, _, final_cost = block_stats(x)
     return LMResult(x=x, cost=final_cost, chi2=chi2, num_iters=it, lam=lam)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("residual_fn", "max_iters", "huber_delta", "jac_fn",
+                     "retract_fn", "tangent_dim"),
+)
+def gn_solve(
+    residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    weights: Optional[jnp.ndarray] = None,
+    *,
+    max_iters: int = 20,
+    huber_delta: Optional[float] = None,
+    rel_tol: float = 1e-6,
+    jac_fn: Optional[Callable] = None,
+    retract_fn: Optional[Callable] = None,
+    tangent_dim: Optional[int] = None,
+) -> LMResult:
+    """Plain Gauss-Newton — g2o's OptimizationAlgorithmGaussNewton
+    (3rdparty/g2o/g2o/core/optimization_algorithm_gauss_newton.{h,cpp}):
+    undamped normal-equation steps, stop on relative-improvement / NaN.
+    Interface matches lm_solve. Dispatched as Levenberg with zero damping
+    and always-accept-unless-worse, so the two share one engine."""
+    return _lm_like(residual_fn, x0, mask, weights, max_iters=max_iters,
+                    huber_delta=huber_delta, rel_tol=rel_tol, jac_fn=jac_fn,
+                    retract_fn=retract_fn, tangent_dim=tangent_dim,
+                    algorithm="gn")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("residual_fn", "max_iters", "huber_delta", "jac_fn",
+                     "retract_fn", "tangent_dim"),
+)
+def dogleg_solve(
+    residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    weights: Optional[jnp.ndarray] = None,
+    *,
+    max_iters: int = 50,
+    huber_delta: Optional[float] = None,
+    rel_tol: float = 1e-6,
+    trust_radius: float = 1.0,
+    jac_fn: Optional[Callable] = None,
+    retract_fn: Optional[Callable] = None,
+    tangent_dim: Optional[int] = None,
+) -> LMResult:
+    """Powell's Dogleg — g2o's OptimizationAlgorithmDogleg
+    (3rdparty/g2o/g2o/core/optimization_algorithm_dogleg.{h,cpp}): blend
+    of the Cauchy (steepest-descent) point and the Gauss-Newton step
+    inside an adaptive trust region, gain-ratio radius update."""
+    return _lm_like(residual_fn, x0, mask, weights, max_iters=max_iters,
+                    huber_delta=huber_delta, rel_tol=rel_tol, jac_fn=jac_fn,
+                    retract_fn=retract_fn, tangent_dim=tangent_dim,
+                    algorithm="dogleg", trust_radius=trust_radius)
+
+
+def _lm_like(residual_fn, x0, mask, weights, *, max_iters, huber_delta,
+             rel_tol, jac_fn, retract_fn, tangent_dim, algorithm,
+             trust_radius: float = 1.0):
+    """Shared GN/Dogleg iteration engine (the Levenberg policy lives in
+    lm_solve; only these two alternatives route here — in the reference
+    pipeline only Levenberg is ever constructed, so GN/Dogleg exist for
+    g2o API completeness, selectable but off the hot path)."""
+    x0 = jnp.asarray(x0)
+    if retract_fn is None:
+        P = x0.shape[0]
+        retract_fn = lambda x, d: x + d
+    else:
+        assert tangent_dim is not None
+        P = tangent_dim
+    if jac_fn is None:
+        def jac_fn(x):
+            return jax.jacfwd(
+                lambda d: residual_fn(retract_fn(x, d)))(jnp.zeros(P))
+
+    def stats(x):
+        r = residual_fn(x)
+        w_info = (jnp.ones_like(r) if weights is None else
+                  (weights if weights.ndim == r.ndim else weights[..., None]))
+        chi2 = jnp.sum(r * r * w_info, axis=-1)
+        w_rob = (jnp.ones_like(chi2) if huber_delta is None
+                 else huber_weight(chi2, huber_delta))
+        if mask is not None:
+            w_rob = jnp.where(mask, w_rob, 0.0)
+        cost = jnp.sum(chi2 * w_rob)
+        return r, w_info, chi2, w_rob, cost
+
+    def normal_eqs(x):
+        r, w_info, chi2, w_rob, cost = stats(x)
+        J = jac_fn(x)
+        w = w_info * w_rob[..., None]
+        Jw = J * w[..., None]
+        H = jnp.einsum("ndp,ndq->pq", Jw, J, precision=lax.Precision.HIGHEST)
+        g = jnp.einsum("ndp,nd->p", Jw, r, precision=lax.Precision.HIGHEST)
+        return H, g, cost, chi2
+
+    H0, g0, cost0, _ = normal_eqs(x0)
+    floor0 = 1e-12 * jnp.maximum(jnp.max(jnp.abs(H0)), 1e-20)
+
+    def step_gn(H, g, _radius):
+        Hd = H + floor0 * jnp.eye(H.shape[0], dtype=H.dtype)
+        return _solve_spd(Hd, -g), _radius
+
+    def step_dogleg(H, g, radius):
+        Hd = H + floor0 * jnp.eye(H.shape[0], dtype=H.dtype)
+        d_gn = _solve_spd(Hd, -g)
+        gHg = jnp.dot(g, Hd @ g)
+        alpha = jnp.dot(g, g) / jnp.maximum(gHg, 1e-20)
+        d_sd = -alpha * g                       # Cauchy point
+        n_gn = jnp.linalg.norm(d_gn)
+        n_sd = jnp.linalg.norm(d_sd)
+        # three dogleg cases (optimization_algorithm_dogleg.cpp:90-130)
+        diff = d_gn - d_sd
+        a = jnp.dot(diff, diff)
+        b = 2.0 * jnp.dot(d_sd, diff)
+        c = jnp.dot(d_sd, d_sd) - radius * radius
+        disc = jnp.sqrt(jnp.maximum(b * b - 4 * a * c, 0.0))
+        beta = (-b + disc) / jnp.maximum(2 * a, 1e-20)
+        d_mix = d_sd + jnp.clip(beta, 0.0, 1.0) * diff
+        d = jnp.where(
+            n_gn <= radius, d_gn,
+            jnp.where(n_sd >= radius,
+                      d_sd * (radius / jnp.maximum(n_sd, 1e-20)), d_mix))
+        return d, radius
+
+    stepper = step_gn if algorithm == "gn" else step_dogleg
+
+    def cond(s):
+        it, x, radius, cost, H, g, done = s
+        return (it < max_iters) & ~done
+
+    def body(s):
+        it, x, radius, cost, H, g, done = s
+        delta, radius = stepper(H, g, radius)
+        bad = jnp.any(jnp.isnan(delta))
+        delta = jnp.where(bad, jnp.zeros_like(delta), delta)
+        x_new = retract_fn(x, delta)
+        H_new, g_new, cost_new, _ = normal_eqs(x_new)
+        accept = (cost_new < cost) & ~bad
+        if algorithm == "dogleg":
+            pred = -(jnp.dot(g, delta) + 0.5 * jnp.dot(delta, H @ delta))
+            rho = (cost - cost_new) / jnp.maximum(pred, 1e-20)
+            radius = jnp.where(rho > 0.75, jnp.maximum(radius,
+                               3.0 * jnp.linalg.norm(delta)),
+                               jnp.where(rho < 0.25, radius * 0.5, radius))
+            done_new = radius < 1e-12
+        else:
+            done_new = ~accept  # GN: a non-improving step terminates
+        x_n = jnp.where(accept, x_new, x) if x.ndim == 1 else \
+            jnp.where(accept, x_new, x)
+        cost_n = jnp.where(accept, cost_new, cost)
+        done_new = done_new | (
+            accept & (cost - cost_new < rel_tol * jnp.maximum(cost, 1e-20)))
+        return (it + 1, x_n,
+                radius, cost_n,
+                jnp.where(accept, H_new, H), jnp.where(accept, g_new, g),
+                done_new)
+
+    init = (jnp.int32(0), x0, jnp.float32(trust_radius), cost0, H0, g0,
+            cost0 <= 1e-20)
+    it, x, radius, cost, H, g, done = lax.while_loop(cond, body, init)
+    _, _, chi2, _, final_cost = stats(x)
+    return LMResult(x=x, cost=final_cost, chi2=chi2, num_iters=it,
+                    lam=radius)

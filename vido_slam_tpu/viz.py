@@ -307,3 +307,63 @@ def draw_frame_overlay(image: np.ndarray, slam_map: SlamMap,
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         _mpl().imsave(path, img)
     return img
+
+
+class LiveViewer:
+    """Minimal interactive live 3D viewer — the on-demand counterpart of
+    VidoViewer (VidoViewer.cc Run loop: trajectory + map points + object
+    boxes redrawn as the map evolves), with the pause semantics INVERTED
+    as the headless design requires (SURVEY section 1): the reference
+    starts paused and gates GrabImageRGBD on the viewer's button
+    (VidoViewer.cc:12, Tracking.cc:729-731); this viewer starts RUNNING
+    and pausing (space key) only freezes the display refresh — the
+    pipeline is never blocked.
+
+    Falls back to a no-op when no interactive matplotlib backend is
+    available (headless hosts), so `--view` is always safe to pass.
+    """
+
+    def __init__(self, every: int = 5, max_points: int = 2000):
+        self.every = max(int(every), 1)
+        self.max_points = max_points
+        self.paused = False
+        self._n = 0
+        self._ok = False
+        try:
+            import matplotlib
+            import matplotlib.pyplot as plt
+
+            if matplotlib.get_backend().lower() == "agg":
+                raise RuntimeError("non-interactive backend")
+            plt.ion()
+            self._plt = plt
+            self._fig = plt.figure(figsize=(7, 7))
+            self._ax = self._fig.add_subplot(111, projection="3d")
+            self._fig.canvas.mpl_connect("key_press_event", self._on_key)
+            self._fig.suptitle("vido_slam_tpu live (space: pause/run)")
+            self._ok = True
+        except Exception as e:  # headless: record why and no-op
+            self.disabled_reason = str(e)
+
+    def _on_key(self, event):
+        if event.key == " ":
+            self.paused = not self.paused
+
+    def update(self, slam_map: SlamMap) -> None:
+        """Call once per tracked frame; redraws every `every` frames unless
+        paused. Never raises and never blocks beyond one GUI event tick."""
+        self._n += 1
+        if not self._ok or self.paused or self._n % self.every:
+            return
+        try:
+            self._ax.cla()
+            _draw_scene(self._ax, slam_map, None, self.max_points)
+            self._fig.canvas.draw_idle()
+            self._plt.pause(0.001)
+        except Exception:
+            self._ok = False
+
+    def close(self) -> None:
+        if self._ok:
+            self._plt.ioff()
+            self._plt.close(self._fig)
