@@ -66,8 +66,12 @@ def make_config():
 
 
 def load_frames(H, W, n_frames):
-    """Benchmark input frames (list of (H, W, 3) f32 device arrays) and a
-    tag describing the source."""
+    """Benchmark input frames (list of (H, W, 3) f32 device arrays — the
+    underlying clip buffers are shared across cyclic repeats) and a tag
+    describing the source. The synthetic clip source additionally reports
+    has_gt_imu=True: its trajectory is the analytic `driving_pose` profile
+    (accelerating + gently yawing) whose exact body-frame IMU
+    `driving_imu(t)` the VIO row feeds."""
     data_dir = os.environ.get("VIDO_BENCH_DATA", "")
     if data_dir:
         import glob as _glob
@@ -90,15 +94,14 @@ def load_frames(H, W, n_frames):
                                                 "bilinear"))
             return a
 
-        loaded = [load(p) for p in paths]
-        frames = [jnp.asarray(loaded[i % len(loaded)])
-                  for i in range(n_frames)]
-        return frames, f"data:{data_dir}"
+        base = [jnp.asarray(load(p)) for p in paths]
+        frames = [base[i % len(base)] for i in range(n_frames)]
+        return frames, f"data:{data_dir}", False
 
     if os.environ.get("VIDO_BENCH_NOISE", "0") == "1":
         rng = np.random.RandomState(0)
         return [jnp.asarray((rng.rand(H, W, 3) * 255).astype(np.float32))
-                for _ in range(n_frames)], "synthetic-noise"
+                for _ in range(n_frames)], "synthetic-noise", False
 
     # default: deterministic synthetic driving clip. The committed asset is
     # the canonical copy (io/synthetic.py::driving_clip output, 0.6 MB
@@ -110,8 +113,9 @@ def load_frames(H, W, n_frames):
     else:
         from vido_slam_tpu.io.synthetic import driving_clip
         clip = driving_clip(height=H, width=W, n_frames=24)
-    frames = [jnp.asarray(clip[i % len(clip)]) for i in range(n_frames)]
-    return frames, "synthetic-driving-clip"
+    base = [jnp.asarray(c) for c in clip]
+    frames = [base[i % len(base)] for i in range(n_frames)]
+    return frames, "synthetic-driving-clip", True
 
 
 def make_offline_config():
@@ -138,19 +142,15 @@ def make_offline_config():
     )
 
 
-def run_offline_row(n_warmup, n_bench, pipelined, fused):
-    """SLAM-side end-to-end at the KAIST OFFLINE resolution (1280x560) with
-    precomputed perception, mirroring the reference offline demo which reads
-    depth/flow/mask siblings from disk and bypasses the nets entirely
-    (run_vido_slam.cc:112-137). Inputs are a synthetic driving scene with
-    ground-truth depth/flow/mask at the offline calibration."""
-    from vido_slam_tpu.geometry.se3 import exp_se3
+def _offline_sequence(n_frames):
+    """Synthetic GT sequence at the KAIST OFFLINE calibration (1280x560)
+    following the analytic `driving_pose` trajectory (accelerating +
+    gently yawing — VIO-observable), with two moving vehicles. Returns
+    (scene, seq)."""
     from vido_slam_tpu.io.synthetic import (
-        Box, SyntheticScene, SyntheticSequence, make_se3)
+        Box, SyntheticScene, SyntheticSequence, driving_pose, make_se3)
     from vido_slam_tpu.geometry.camera import Camera
-    from vido_slam_tpu.tracking import Tracker
 
-    cfg = make_offline_config()
     cam = Camera.create(fx=816.402, fy=817.38, cx=608.2658, cy=266.688,
                         width=1280, height=560, bf=387.57)
     mot = make_se3(jnp.eye(3), jnp.asarray([0.06, 0.0, -0.5], jnp.float32))
@@ -163,21 +163,70 @@ def run_offline_row(n_warmup, n_bench, pipelined, fused):
             motion=mot),
     )
     scene = SyntheticScene(cam=cam, ground_y=1.6, boxes=boxes)
-    n_frames = n_warmup + 2 * n_bench + 2
-    # [rho, phi]: drive forward 0.45 m/frame with a slow yaw
-    step = np.asarray(exp_se3(jnp.asarray(
-        [0.015, 0.0, -0.45, 0.0, 0.002, 0.0], jnp.float32)))
-    seq = SyntheticSequence(scene, [step] * n_frames, n_frames)
+    # per-step camera-frame motions from the analytic GT trajectory:
+    # dT_t = Tcw(t+1) inv(Tcw(t)); the same trajectory the analytic IMU
+    # (driving_imu) integrates, so the VIO variant is exactly consistent
+    fps = 10.0
+    Tcws = [driving_pose(k / fps) for k in range(n_frames + 1)]
+    steps = [Tcws[k + 1] @ np.linalg.inv(Tcws[k]) for k in range(n_frames)]
+    seq = SyntheticSequence(scene, steps, n_frames)
     _log("offline 1280x560 sequence rendered")
+    return scene, seq
 
+
+def run_offline_row(n_warmup, n_bench, pipelined, fused, scene, seq,
+                    use_imu=False, with_oracle=False):
+    """SLAM-side end-to-end at the KAIST OFFLINE resolution (1280x560) with
+    precomputed perception, mirroring the reference offline demo which reads
+    depth/flow/mask siblings from disk and bypasses the nets entirely
+    (run_vido_slam.cc:112-137). Inputs are a synthetic driving scene with
+    ground-truth depth/flow/mask at the offline calibration.
+
+    `use_imu=True` is the reference offline demo's PRIMARY KAIST mode
+    (IMU_RGBD: demo/run_vido_slam.cc:85-107 loads xsens_imu.csv): the
+    analytic GT IMU stream is fed per frame, so initialization +
+    map rescaling run inside the measurement; the recovered scale must be
+    ~1 (the GT depth is already metric).
+
+    `with_oracle=True` additionally runs the INDEPENDENT plain-numpy f64
+    protocol oracle (tests/oracle_protocol.py) over the same inputs and
+    reports the north-star parity number: system-vs-oracle camera ATE as
+    % of trajectory length (BASELINE.md: 'ATE within 1% of the
+    reference'; the oracle re-expresses Tracking.cc:283-782,1081-1509)."""
+    from vido_slam_tpu.system import ImuPoint
+    from vido_slam_tpu.tracking import Tracker
+
+    cfg = make_offline_config()
+    n_frames = len(seq.frames)
+    fps = 10.0
     tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,
                       local_ba=True, ba_max_points=1000, ba_iters=10,
-                      pipelined=pipelined, fused_ba=fused)
+                      pipelined=pipelined, fused_ba=fused, use_imu=use_imu)
     dev = [(jnp.asarray(f.depth), jnp.asarray(f.flow),
             jnp.asarray(f.mask, jnp.int32)) for f in seq.frames]
 
+    imu_clock = [0.0]
+
+    def feed_imu(t_frame):
+        if not use_imu:
+            return
+        from vido_slam_tpu.io.synthetic import driving_imu
+        dt = 1.0 / 200.0
+        ts = np.arange(imu_clock[0] + dt, t_frame + 1e-9, dt)
+        if len(ts):
+            acc, gyro = driving_imu(ts)
+            tracker.grab_imu_data([
+                ImuPoint(a=acc[i], w=gyro[i], t=float(t))
+                for i, t in enumerate(ts)])
+            imu_clock[0] = float(ts[-1])
+
+    def step(i):
+        t = i / fps
+        feed_imu(t)
+        tracker.track(*dev[i], timestamp=t)
+
     for i in range(n_warmup + 1):
-        tracker.track(*dev[i])
+        step(i)
     jax.device_get(tracker.state.Tcw)
     _log("offline warmup done; measuring")
 
@@ -185,7 +234,7 @@ def run_offline_row(n_warmup, n_bench, pipelined, fused):
         dts = []
         for i in range(start, start + n_bench):
             t0 = time.perf_counter()
-            tracker.track(*dev[i])
+            step(i)
             dts.append(time.perf_counter() - t0)
         return float(np.median(dts))
 
@@ -195,8 +244,14 @@ def run_offline_row(n_warmup, n_bench, pipelined, fused):
     best = min(m1, m2)
     row = {"fps": round(1.0 / best, 3),
            "pass_fps": [round(1.0 / m1, 3), round(1.0 / m2, 3)]}
+    tracker.finish()
+    if use_imu:
+        row["imu_initialized"] = bool(tracker.imu_initialized)
+        row["imu_scale"] = round(float(tracker.imu_scale), 6)
+        row["imu_stream"] = "analytic-gt"
+        row["imu_init_attempts"] = int(tracker.imu_init_attempts)
     # accuracy on the same run: ATE RMSE vs the synthetic GT trajectory,
-    # absolute and as % of trajectory length (the north-star axis)
+    # absolute and as % of trajectory length (drift diagnostic)
     from vido_slam_tpu.metrics import ate_rmse
 
     n_done = len(tracker.map)
@@ -208,22 +263,48 @@ def run_offline_row(n_warmup, n_bench, pipelined, fused):
     row["ate_rmse_m"] = round(ate, 4)
     row["traj_len_m"] = round(traj_len, 2)
     row["ate_pct_of_length"] = round(100.0 * ate / max(traj_len, 1e-9), 3)
-    try:
-        from vido_slam_tpu.utils.mfu import device_busy_ms
+    if with_oracle:
+        # the NORTH-STAR parity number in the headline artifact: ATE of
+        # this run's trajectory vs the independent f64 protocol oracle,
+        # as % of trajectory length (must be < 1%, BASELINE.md)
+        try:
+            t0 = time.time()
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tests.oracle_protocol import (
+                OracleConfig, Pinhole, run_oracle)
 
-        d, f, m = dev[2]
-        g = jnp.zeros((560, 1280), jnp.float32)
+            ocam = Pinhole(fx=816.402, fy=817.38, cx=608.2658, cy=266.688,
+                           width=1280, height=560, fps=fps)
+            # thresholds match the tracker's config (ThDepthBG/OBJ defaults
+            # = the kaist_config.yaml values the offline cfg uses)
+            ocfg = OracleConfig(th_depth_bg=80.0, th_depth_obj=60.0,
+                                n_bg=1200, n_hyp=150, seed=0)
+            orc = run_oracle(ocam, seq.frames[:n_done], ocfg)
+            orc_poses = np.stack(orc.Tcw)
+            o_ate = float(ate_rmse(est, orc_poses, align=False))
+            row["oracle_ate_m"] = round(o_ate, 4)
+            row["oracle_ate_pct"] = round(
+                100.0 * o_ate / max(traj_len, 1e-9), 3)
+            _log(f"protocol oracle ran in {time.time() - t0:.0f}s: "
+                 f"system-vs-oracle {row['oracle_ate_pct']}% of length")
+        except Exception as e:  # oracle parity is best-effort in the bench
+            _log(f"protocol oracle skipped: {e}")
+    if not use_imu:
+        try:
+            from vido_slam_tpu.utils.mfu import device_busy_ms
 
-        def run():
-            st = tracker.state
-            for _ in range(4):
-                st = tracker._step(st, d, f, m, g)[0]
-            jax.device_get(st.Tcw)
+            d, f, m = dev[2]
+            g = jnp.zeros((560, 1280), jnp.float32)
 
-        row["device_ms_per_frame"] = round(device_busy_ms(run) / 4, 2)
-    except Exception as e:  # profiling is best-effort on the tunnel
-        _log(f"offline device-busy skipped: {e}")
-    tracker.finish()
+            def run():
+                st = tracker.state
+                for _ in range(4):
+                    st = tracker._step(st, d, f, m, g)[0]
+                jax.device_get(st.Tcw)
+
+            row["device_ms_per_frame"] = round(device_busy_ms(run) / 4, 2)
+        except Exception as e:  # profiling is best-effort on the tunnel
+            _log(f"offline device-busy skipped: {e}")
     return row
 
 
@@ -233,15 +314,21 @@ def _log(msg):
 
 
 def run_row(cfg, mask_cfg, frames, n_warmup, n_bench, pair, pipelined,
-            fused, flags, with_mfu, use_imu=False):
+            fused, flags, with_mfu, use_imu=False, gt_imu=False):
     """Build perception+tracker for one detector config, measure two passes,
     optionally measure device-busy/MFU. Returns a result dict.
 
     `use_imu=True` benches the fused VIO path (IMU_RGBD through
-    track_frames_pair): synthetic 200 Hz IMU samples are queued before
-    every dispatch, so preintegration, the per-frame init/refinement
-    attempts and the pre-dispatch sync all run at their true per-frame
-    cost (System.cc:65-78)."""
+    track_frames_pair): 200 Hz IMU samples are queued before every
+    dispatch, so preintegration, the per-frame init/refinement attempts
+    and the pre-dispatch sync all run at their true per-frame cost
+    (System.cc:65-78). With `gt_imu=True` the samples are the ANALYTIC
+    body-frame IMU of the clip's GT trajectory (io/synthetic.driving_imu:
+    f_b = R_bw (a_w - g_w), gyro = psi'(t) about y) so IMU initialization
+    genuinely fires mid-bench and the ScaleRefinement schedule
+    (Tracking.cc:1455-1480) lands inside a measured pass; otherwise a
+    stationary-with-jitter stream is fed (degenerate: init keeps
+    aborting on the collapsed scale, Tracking.cc:1008-1012)."""
     from vido_slam_tpu.models.perception import PerceptionModel
     from vido_slam_tpu.system import ImuPoint
     from vido_slam_tpu.tracking import Tracker
@@ -266,20 +353,28 @@ def run_row(cfg, mask_cfg, frames, n_warmup, n_bench, pair, pipelined,
     imu_clock = [0.0]
 
     def feed_imu(n_new_frames=2):
-        # stationary-with-jitter IMU stream at 200 Hz, fed just ahead of
-        # the frames it covers (the preintegrator consumes up to each
-        # frame boundary and keeps the remainder queued)
+        # 200 Hz IMU stream fed just ahead of the frames it covers (the
+        # preintegrator consumes up to each frame boundary and keeps the
+        # remainder queued)
         if not use_imu:
             return
         dt = 1.0 / 200.0
         t_end = imu_clock[0] + n_new_frames / float(cfg.camera.fps)
         ts = np.arange(imu_clock[0] + dt, t_end + 1e-9, dt)
-        tracker.grab_imu_data([
-            ImuPoint(a=np.asarray([0.05, -9.79, 0.02], np.float32),
-                     w=np.asarray([0.001, 0.002, -0.001], np.float32),
-                     t=float(t))
-            for t in ts
-        ])
+        if gt_imu:
+            from vido_slam_tpu.io.synthetic import driving_imu
+            acc, gyro = driving_imu(ts)
+            tracker.grab_imu_data([
+                ImuPoint(a=acc[i], w=gyro[i], t=float(t))
+                for i, t in enumerate(ts)
+            ])
+        else:
+            tracker.grab_imu_data([
+                ImuPoint(a=np.asarray([0.05, -9.79, 0.02], np.float32),
+                         w=np.asarray([0.001, 0.002, -0.001], np.float32),
+                         t=float(t))
+                for t in ts
+            ])
         imu_clock[0] = t_end
 
     # warmup (compilation)
@@ -331,9 +426,14 @@ def run_row(cfg, mask_cfg, frames, n_warmup, n_bench, pair, pipelined,
     if use_imu:
         # record whether IMU init / rescale cost was actually exercised in
         # the measured passes, so the VIO figure is reproducible in what it
-        # includes (advisor r3)
+        # includes (advisor r3); with the analytic GT IMU both the
+        # initialization and at least one ScaleRefinement attempt
+        # (Tracking.cc:1455-1480) must land inside the measurement
         row["imu_initialized"] = bool(tracker.imu_initialized)
         row["imu_scale"] = round(float(tracker.imu_scale), 6)
+        row["imu_stream"] = "analytic-gt" if gt_imu else "stationary"
+        row["imu_init_attempts"] = int(getattr(tracker, "imu_init_attempts", 0))
+        row["imu_refine_runs"] = int(getattr(tracker, "imu_refine_runs", 0))
 
     if with_mfu and pair:
         # MFU of the fused per-pair program: compiled-HLO FLOPs (XLA cost
@@ -401,7 +501,7 @@ def main():
 
     n_warmup, n_bench = 3, 30  # two measured passes of n_bench frames
     n_frames = n_warmup + 2 * n_bench + 2
-    frames, input_tag = load_frames(H, W, n_frames)
+    frames, input_tag, has_gt_imu = load_frames(H, W, n_frames)
 
     _log(f"input: {input_tag}")
     rows = {}
@@ -410,11 +510,17 @@ def main():
         n_warmup, n_bench, pair, pipelined, fused, flags, with_mfu)
     if with_vio:
         # fused VIO path (same program + scalar scale input + host IMU
-        # hooks); no MFU pass — the device program matches the r50 row
+        # hooks); no MFU pass — the device program matches the r50 row.
+        # 60 frames per pass so BOTH the IMU initialization (>= 2 s, frame
+        # ~20) and the first ScaleRefinement (init + 10 s, frame ~120,
+        # Tracking.cc:1455-1480) land INSIDE the measured passes.
+        n_bench_vio = 60
+        frames_vio, _, _ = load_frames(
+            H, W, 2 * n_warmup + 2 * n_bench_vio + 3)
         rows["vio_r50_544x800"] = run_row(
-            cfg, MaskRCNNConfig(input_h=544, input_w=800), frames,
-            n_warmup, min(n_bench, 20), pair, pipelined, fused, flags,
-            False, use_imu=True)
+            cfg, MaskRCNNConfig(input_h=544, input_w=800), frames_vio,
+            n_warmup, n_bench_vio, pair, pipelined, fused, flags,
+            False, use_imu=True, gt_imu=has_gt_imu)
     if with_x101:
         rows["x101_1088x800"] = run_row(
             cfg, RESNEXT101_FPN._replace(input_h=1088, input_w=800), frames,
@@ -422,9 +528,19 @@ def main():
             with_mfu)
     if os.environ.get("VIDO_BENCH_OFFLINE", "1") == "1":
         # reference OFFLINE configuration: 1280x560, precomputed perception
-        # (kaist_config.yaml:21-22, run_vido_slam.cc:112-137)
+        # (kaist_config.yaml:21-22, run_vido_slam.cc:112-137); one rendered
+        # GT sequence shared by the VO row (+ the independent-oracle parity
+        # number) and the IMU_RGBD row (the reference's primary KAIST mode)
+        nb_off = min(n_bench, 20)
+        scene, seq = _offline_sequence(n_warmup + 2 * nb_off + 2)
+        with_oracle = os.environ.get("VIDO_BENCH_ORACLE", "1") == "1"
         rows["kaist_offline_1280x560"] = run_offline_row(
-            n_warmup, min(n_bench, 20), pipelined, fused)
+            n_warmup, nb_off, pipelined, fused, scene, seq,
+            with_oracle=with_oracle)
+        if os.environ.get("VIDO_BENCH_OFFLINE_VIO", "1") == "1":
+            rows["kaist_offline_1280x560_vio"] = run_offline_row(
+                n_warmup, nb_off, pipelined, fused, scene, seq,
+                use_imu=True)
 
     fps = rows["r50_544x800"]["fps"]
     out = {

@@ -139,7 +139,7 @@ def main():
                       f"pos={np.linalg.inv(Tcw)[:3, 3]}")
             if viewer is not None and system.tracker is not None \
                     and len(system.tracker.map) > 1:
-                viewer.update(system.tracker.map)
+                viewer.update(system.tracker.map, image=bgr[..., ::-1])
             continue
         if perception is not None:
             if prev_bgr is None:
@@ -173,7 +173,7 @@ def main():
                   f"pos={np.linalg.inv(Tcw)[:3, 3]}")
         if viewer is not None and system.tracker is not None \
                 and len(system.tracker.map) > 1:
-            viewer.update(system.tracker.map)
+            viewer.update(system.tracker.map, image=bgr[..., ::-1])
 
     if viewer is not None:
         viewer.close()

@@ -16,7 +16,12 @@ minimal solver is a 4-point Gauss-Newton refine instead of P3P (the
 protocol decision — "more 0.4 px inliers wins vs the motion model",
 Tracking.cc:1965-2027 — is preserved); features sample a deterministic
 grid instead of cv::RNG. The oracle does NOT run window BA: the per-frame
-protocol alone must land within the ATE tolerance.
+protocol alone must land within the ATE tolerance. The camera-pose solve
+runs 4 optimize/re-classify stages with a fixed chi2<=0.01 inlier gate;
+the reference's PoseOptimizationNew declares the 4-stage chi2 schedule
+but its loop is `for(it=0; it<1; it++)` (Optimizer.cc:2268-2320) so only
+ONE stage with chi2Mono[0]=rp_thres ever executes — the extra stages are
+a (benign) strengthening kept for oracle robustness, not reference parity.
 
 Reference constants used (same citations as the system):
   RANSAC reproj 0.4 px, 500 hypotheses       Tracking.cc:1965-1968
@@ -141,10 +146,26 @@ def lm_pose(cam, Xw, obs, w, T0, iters=10, huber=None, obj_motion=None):
     ...OnlyObjMotion residual semantics, Optimizer.cc:2180/2826).
 
     Xw (N, 3) world points, obs (N, 2) pixels, w (N,) 0/1 weights.
-    Returns (T_opt, chi2 (N,) final squared reprojection error)."""
+    Returns (T_opt, chi2 (N,) final squared reprojection error).
+
+    Step acceptance follows g2o's Levenberg policy
+    (optimization_algorithm_levenberg.cpp): a trial step is only committed
+    when the robust cost does not increase; a rejected step keeps the
+    current pose and retries with 10x damping."""
+
+    def trial_cost(T_try):
+        pc_t = (to_cam(T_try, Xw) if obj_motion is None
+                else to_cam(obj_motion, Xw @ T_try[:3, :3].T + T_try[:3, 3]))
+        r_t = obs - cam.project(pc_t)
+        chi2_t = np.sum(r_t * r_t, axis=1)
+        ww_t = w.astype(np.float64)
+        if huber is not None:
+            nrm_t = np.sqrt(np.maximum(chi2_t, 1e-18))
+            ww_t = ww_t * np.minimum(1.0, huber / nrm_t)
+        return float(np.sum(ww_t * chi2_t))
+
     T = T0.copy()
     lam = 1e-6
-    prev_cost = None
     for _ in range(iters):
         if obj_motion is None:
             pc = to_cam(T, Xw)
@@ -174,14 +195,13 @@ def lm_pose(cam, Xw, obs, w, T0, iters=10, huber=None, obj_motion=None):
         except np.linalg.LinAlgError:
             break
         T_new = exp_se3(delta) @ T
-        if prev_cost is not None and cost > prev_cost * (1 + 1e-12):
-            lam *= 10.0
-        else:
+        if trial_cost(T_new) <= cost * (1 + 1e-12):
+            T = T_new                      # accept: commit + relax damping
             lam = max(lam * 0.5, 1e-9)
-        prev_cost = cost
-        T = T_new
-        if np.linalg.norm(delta) < 1e-12:
-            break
+            if np.linalg.norm(delta) < 1e-12:
+                break
+        else:
+            lam *= 10.0                    # reject: keep T, more damping
     pc = (to_cam(T, Xw) if obj_motion is None
           else to_cam(obj_motion, Xw @ T[:3, :3].T + T[:3, 3]))
     r = obs - cam.project(pc)
@@ -343,7 +363,9 @@ def run_oracle(cam, frames, cfg=None, verbose=False):
         T0, _ = ransac_vs_model(cam, bg_Xw, cur_bg, bg_valid, T_model,
                                 velocity is not None, rng, n_hyp=cfg.n_hyp)
         w = count_inliers(cam, T0, bg_Xw, cur_bg, bg_valid).astype(float)
-        # 4-stage optimize/classify schedule (Optimizer.cc:2268-2320)
+        # 4 optimize/re-classify stages with a fixed 0.01 gate — a
+        # documented deviation (see module docstring): the reference's
+        # loop at Optimizer.cc:2268-2320 executes only one stage.
         T_new = T0
         for _stage in range(4):
             T_new, chi2 = lm_pose(cam, bg_Xw, cur_bg, w, T_new, iters=10,

@@ -118,3 +118,33 @@ class TestFlowJoint:
         assert float(jnp.linalg.norm(se3.log_se3(dH))) < 1e-2
 
 pytestmark = pytest.mark.slow  # heavy jit: full tier only
+
+
+def test_proj_jacobian_matches_jacfwd():
+    """The closed-form left-perturbation jacobian in _proj_and_jac must
+    equal the autodiff jacobian of xi -> project(exp(xi) T X)."""
+    import jax
+    from vido_slam_tpu.estimation.flow_joint import _proj_and_jac
+    from vido_slam_tpu.geometry.se3 import compose, exp_se3
+    from vido_slam_tpu.geometry.camera import Camera
+
+    cam = Camera.create(fx=200.0, fy=210.0, cx=96.0, cy=60.0,
+                        width=192, height=120, bf=30.0)
+    rng = np.random.RandomState(3)
+    T = np.asarray(exp_se3(jnp.asarray(
+        [0.2, -0.1, 0.3, 0.05, -0.02, 0.04], jnp.float32)))
+    pts = jnp.asarray(rng.uniform(-2, 2, (40, 3)) + [0, 0, 8.0],
+                      jnp.float32)
+    proj, J, z = _proj_and_jac(jnp.asarray(T), pts, cam)
+
+    def f(xi, X):
+        Tn = compose(exp_se3(xi), jnp.asarray(T))
+        pc = Tn[:3, :3] @ X + Tn[:3, 3]
+        return cam.project(pc[None])[0]
+
+    Jref = jax.vmap(lambda X: jax.jacfwd(f)(jnp.zeros(6), X))(pts)
+    pref = jax.vmap(lambda X: f(jnp.zeros(6), X))(pts)
+    np.testing.assert_allclose(np.asarray(proj), np.asarray(pref),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(Jref),
+                               rtol=1e-4, atol=1e-4)

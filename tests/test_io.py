@@ -198,3 +198,60 @@ class TestAuxHelpers:
                 objects=obs, timing={},
             ))
         assert m.object_track_times() == {2: 2}
+
+
+class TestDrivingTrajectory:
+    """The analytic bench trajectory (io/synthetic.driving_pose) and its
+    closed-form IMU (driving_imu) must be mutually consistent: midpoint
+    preintegration of the ideal IMU over a frame interval has to reproduce
+    the GT pose deltas (the VIO bench row feeds exactly this stream,
+    VERDICT r4 item 2)."""
+
+    def test_imu_preintegration_matches_gt(self):
+        import jax.numpy as jnp
+        from vido_slam_tpu.imu.preintegration import (
+            GRAVITY_VALUE, ImuCalib, init_preintegration,
+            integrate_measurements, prepare_segments)
+        from vido_slam_tpu.io.synthetic import (
+            DRIVING_PERIOD, DRIVING_V0, DRIVING_V1, driving_imu,
+            driving_pose)
+
+        calib = ImuCalib.from_config(np.eye(4), 1e-4, 1e-4, 1e-6, 1e-5,
+                                     200.0)
+        g_w = np.array([0.0, GRAVITY_VALUE, 0.0])
+        omega = 2.0 * np.pi / DRIVING_PERIOD
+
+        def gt_vel(t):
+            return np.array([0.0, 0.0, DRIVING_V0
+                             + DRIVING_V1 * np.sin(omega * t)])
+
+        rng_ts = np.arange(0.0005, 0.5, 1.0 / 200.0)
+        acc, gyro = driving_imu(rng_ts)
+        for t0, t1 in [(0.0, 0.1), (0.1, 0.2), (0.3, 0.4)]:
+            a, w, dt = prepare_segments(rng_ts, acc, gyro, t0, t1, 64)
+            st = integrate_measurements(
+                init_preintegration(), jnp.asarray(a), jnp.asarray(w),
+                jnp.asarray(dt), calib)
+            T0 = np.linalg.inv(driving_pose(t0))    # Twb
+            T1 = np.linalg.inv(driving_pose(t1))
+            R0, p0 = T0[:3, :3], T0[:3, 3]
+            R1, p1 = T1[:3, :3], T1[:3, 3]
+            dtau = t1 - t0
+            dR_gt = R0.T @ R1
+            dV_gt = R0.T @ (gt_vel(t1) - gt_vel(t0) - g_w * dtau)
+            dP_gt = R0.T @ (p1 - p0 - gt_vel(t0) * dtau
+                            - 0.5 * g_w * dtau * dtau)
+            assert np.allclose(np.asarray(st.dR), dR_gt, atol=2e-4)
+            assert np.allclose(np.asarray(st.dV), dV_gt, atol=2e-3)
+            assert np.allclose(np.asarray(st.dP), dP_gt, atol=2e-4)
+
+    def test_pose_periodic_velocity(self):
+        """Velocity and yaw are DRIVING_PERIOD-periodic, so the cyclic clip
+        replay keeps the IMU stream consistent across the wrap."""
+        from vido_slam_tpu.io.synthetic import DRIVING_PERIOD, driving_imu
+
+        t = np.array([0.013, 0.77, 1.9])
+        a0, w0 = driving_imu(t)
+        a1, w1 = driving_imu(t + DRIVING_PERIOD)
+        assert np.allclose(a0, a1, atol=1e-6)
+        assert np.allclose(w0, w1, atol=1e-6)

@@ -81,19 +81,28 @@ class FlowJointEstimate(NamedTuple):
 
 def _proj_and_jac(T, pts3d, cam: Camera):
     """Projection of T*pts and its (N,2,6) jacobian w.r.t. a left
-    perturbation T <- exp(xi) T, via vmapped jacfwd (convention-free)."""
+    perturbation T <- exp(xi) T, xi = [rho, phi] (geometry/se3.exp_se3).
 
-    def proj_one(xi, X):
-        Tn = compose(exp_se3(xi), T)
-        pc = jnp.einsum("ij,j->i", Tn[:3, :3], X, precision=_HI) + Tn[:3, 3]
-        return cam.project(pc[None])[0], pc[2]
-
-    zero = jnp.zeros(6, jnp.float32)
-    proj, J, z = jax.vmap(
-        lambda X: (proj_one(zero, X)[0],
-                   jax.jacfwd(proj_one, has_aux=True)(zero, X)[0],
-                   proj_one(zero, X)[1])
-    )(pts3d)
+    Closed form: pc(xi) = exp(xi)(T X) ~ pc + rho + phi x pc, so
+    d pc/d rho = I, d pc/d phi = -hat(pc); chained with the pinhole
+    jacobian [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]. The earlier
+    vmapped-jacfwd form emitted ~8 passes of exp_se3/compose ops per LM
+    iteration — a measurable slice of the per-frame while-loop time."""
+    pc = jnp.einsum("nj,ij->ni", pts3d, T[:3, :3], precision=_HI) + T[:3, 3]
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    iz = 1.0 / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    zr = jnp.zeros_like(z)
+    fx, fy = cam.fx, cam.fy
+    # rows of Jp @ [I | -hat(pc)]: precompute Jp entries
+    a = fx * iz               # du/dx
+    c = -fx * x * iz * iz     # du/dz
+    e = fy * iz               # dv/dy
+    f = -fy * y * iz * iz     # dv/dz
+    # d pc/d phi = -hat(pc) = [[0, z, -y], [-z, 0, x], [y, -x, 0]]
+    Ju = jnp.stack([a, zr, c, c * y, a * z - c * x, -a * y], axis=-1)
+    Jv = jnp.stack([zr, e, f, f * y - e * z, -f * x, e * x], axis=-1)
+    J = jnp.stack([Ju, Jv], axis=1)                      # (N, 2, 6)
+    proj = jnp.stack([fx * x * iz + cam.cx, fy * y * iz + cam.cy], axis=-1)
     return proj, J, z
 
 

@@ -397,7 +397,11 @@ def _lm_like(residual_fn, x0, mask, weights, *, max_iters, huber_delta,
         H_new, g_new, cost_new, _ = normal_eqs(x_new)
         accept = (cost_new < cost) & ~bad
         if algorithm == "dogleg":
-            pred = -(jnp.dot(g, delta) + 0.5 * jnp.dot(delta, H @ delta))
+            # cost = sum(w*r^2), so d(cost)/d(delta) = 2g and the quadratic
+            # model reduction is -(2 g.delta + delta' H delta) (the factor
+            # of 2 matters: with -(g.delta + 0.5 delta' H delta) rho is
+            # inflated 2x and the trust region grows too eagerly).
+            pred = -(2.0 * jnp.dot(g, delta) + jnp.dot(delta, H @ delta))
             rho = (cost - cost_new) / jnp.maximum(pred, 1e-20)
             radius = jnp.where(rho > 0.75, jnp.maximum(radius,
                                3.0 * jnp.linalg.norm(delta)),

@@ -284,23 +284,79 @@ def render_rgb(
     return jnp.clip(color, 0.0, 1.0) * 255.0
 
 
+# ---------------------------------------------------------------------------
+# Analytic driving trajectory — the continuous-time model behind the bench
+# clip, with ACCELERATION so a visual-inertial alignment is well-posed
+# (constant velocity makes scale unobservable: InitializeIMU aborts on the
+# collapsed scale, Tracking.cc:1008-1012). The speed and yaw profiles are
+# periodic with the clip length, so when the bench replays the clip
+# cyclically the IMU stream stays velocity- and attitude-continuous across
+# the wrap (only position resets, which an IMU does not measure).
+# ---------------------------------------------------------------------------
+
+DRIVING_FPS = 10.0        # KAIST camera rate (kaist_config.yaml:22)
+DRIVING_V0 = 6.0          # m/s mean forward speed (0.6 m/frame)
+DRIVING_V1 = 1.5          # m/s speed oscillation amplitude
+DRIVING_PSI1 = 0.02       # rad yaw oscillation amplitude
+DRIVING_PERIOD = 2.4      # s = 24 frames at 10 fps (the clip length)
+DRIVING_GRAVITY = 9.79    # GRAVITY_VALUE (ImuTypes.h:29); y points DOWN
+
+
+def _yaw_mat(psi: float) -> np.ndarray:
+    c, s = np.cos(psi), np.sin(psi)
+    return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], np.float64)
+
+
+def driving_pose(t: float) -> np.ndarray:
+    """GT camera pose Tcw (world->camera, 4x4 float64) of the driving clip
+    at time t: forward along +z_w with speed v(t) = V0 + V1 sin(w t) and a
+    small yaw oscillation psi(t) = PSI1 sin(w t)."""
+    w = 2.0 * np.pi / DRIVING_PERIOD
+    s = DRIVING_V0 * t - DRIVING_V1 / w * (np.cos(w * t) - 1.0)
+    psi = DRIVING_PSI1 * np.sin(w * t)
+    Twc = np.eye(4)
+    Twc[:3, :3] = _yaw_mat(psi)
+    Twc[:3, 3] = [0.0, 0.0, s]
+    return np.linalg.inv(Twc)
+
+
+def driving_imu(t: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Ideal body-frame IMU of the driving trajectory at times t (n,):
+    accelerometer specific force f_b = R_bw (a_w - g_w) with gravity
+    g_w = (0, +G, 0) (y down), gyro = body angular rate (0, psi'(t), 0).
+    Exactly consistent with driving_pose — the analytic derivative, not a
+    finite difference. Returns (acc (n, 3), gyro (n, 3)) float32."""
+    t = np.asarray(t, np.float64)
+    w = 2.0 * np.pi / DRIVING_PERIOD
+    a_fwd = DRIVING_V1 * w * np.cos(w * t)              # d v / dt along z_w
+    psi = DRIVING_PSI1 * np.sin(w * t)
+    dpsi = DRIVING_PSI1 * w * np.cos(w * t)
+    a_w = np.stack([np.zeros_like(t), np.zeros_like(t), a_fwd], -1)
+    g_w = np.array([0.0, DRIVING_GRAVITY, 0.0])
+    acc = np.empty((t.shape[0], 3))
+    for i in range(t.shape[0]):                          # R_bw = R_wb^T
+        acc[i] = _yaw_mat(psi[i]).T @ (a_w[i] - g_w)
+    gyro = np.stack([np.zeros_like(t), dpsi, np.zeros_like(t)], -1)
+    return acc.astype(np.float32), gyro.astype(np.float32)
+
+
 def driving_clip(
     height: int = 192,
     width: int = 640,
     n_frames: int = 24,
     fx: float = 408.2,
     fy: float = 408.7,
-) -> "np.ndarray":
+    return_poses: bool = False,
+):
     """Deterministic synthetic driving clip (n_frames, H, W, 3) float32 RGB
     0..255: camera driving forward over a textured road with three moving
-    vehicles-as-boxes. The default realistic bench input (bench.py) — flow,
-    depth and detector occupancy run on coherent moving content instead of
-    i.i.d. noise."""
+    vehicles-as-boxes, following the analytic `driving_pose` trajectory
+    (accelerating + gently yawing, so the clip supports VIO benching). The
+    default realistic bench input (bench.py) — flow, depth and detector
+    occupancy run on coherent moving content instead of i.i.d. noise.
+    With return_poses=True also returns the GT Tcw stack (n_frames, 4, 4)."""
     cam = Camera.create(fx=fx, fy=fy, cx=width / 2, cy=height * 0.55,
                         width=width, height=height, bf=193.8)
-
-    def fwd(v):
-        return make_se3(jnp.eye(3), jnp.asarray([0.0, 0.0, v], jnp.float32))
 
     boxes = (
         Box(half_extent=jnp.asarray([0.9, 0.7, 2.0]), label=1,
@@ -316,22 +372,23 @@ def driving_clip(
     scene = SyntheticScene(cam=cam, ground_y=1.5, boxes=boxes)
 
     frames = []
-    Tcw = np.eye(4, dtype=np.float64)
+    Tcws = [driving_pose(k / DRIVING_FPS) for k in range(n_frames)]
     poses = [np.asarray(b.pose0, np.float64) for b in boxes]
-    step = np.asarray(fwd(-0.6), np.float64)  # camera moves +z in world
     # render on the CPU backend (one jitted program per frame): eager
     # small-op rendering is minutes-slow, and on a tunneled TPU transport
     # it would be hundreds of serialized RPCs per frame
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         render = jax.jit(lambda T, ps: render_rgb(scene, T, ps))
-        for _ in range(n_frames):
+        for k in range(n_frames):
             frames.append(np.asarray(render(
-                jnp.asarray(Tcw, jnp.float32),
+                jnp.asarray(Tcws[k], jnp.float32),
                 tuple(jnp.asarray(p, jnp.float32) for p in poses))))
-            Tcw = step @ Tcw
             poses = [np.asarray(b.motion, np.float64) @ p
                      for b, p in zip(boxes, poses)]
-    return np.stack(frames).astype(np.float32)
+    clip = np.stack(frames).astype(np.float32)
+    if return_poses:
+        return clip, np.stack(Tcws).astype(np.float32)
+    return clip
 
 
 def depth_noise(rng: "np.random.RandomState", z: "np.ndarray") -> "np.ndarray":

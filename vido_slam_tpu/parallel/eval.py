@@ -116,9 +116,11 @@ def sharded_detection_inference(mesh: Mesh, params, images: jnp.ndarray,
 def paste_instance_masks_np(boxes, masks28, valid, out_hw, in_hw,
                             mask_threshold: float = 0.5) -> np.ndarray:
     """Per-instance full-image binary masks, host numpy — the Masker of
-    the reference's eval prep (inference.py expand_boxes scale
-    (28+2)/28, pad 1, bilinear resize over the box, threshold 0.5), with
-    the same separable-bilinear sampling grid as paste_semantic_mask.
+    the reference's eval prep (mask_head/inference.py): expand_boxes
+    scale (28+2)/28, pad 1, then — like paste_mask_in_image — the
+    expanded box is ROUNDED TO INTEGER bounds (`box.to(torch.int32)`,
+    TO_REMOVE=1) before the bilinear resize and integer paste, so
+    thresholded masks land on the same pixels as the reference eval.
     boxes (D, 4) in model-input coords; returns (D, out_h, out_w) bool."""
     out_h, out_w = out_hw
     in_h, in_w = in_hw
@@ -139,16 +141,23 @@ def paste_instance_masks_np(boxes, masks28, valid, out_hw, in_hw,
         cx, cy = (x0 + x1) * 0.5, (y0 + y1) * 0.5
         hw = (x1 - x0) * 0.5 * (30.0 / 28.0)
         hh = (y1 - y0) * 0.5 * (30.0 / 28.0)
-        bx0, bx1, by0, by1 = cx - hw, cx + hw, cy - hh, cy + hh
-        w = max(bx1 - bx0 + 1, 1.0)
-        h = max(by1 - by0 + 1, 1.0)
-        u = np.clip((xs - bx0 + 0.5) / w * 30.0 - 0.5, 0.0, 29.0)
-        v = np.clip((ys - by0 + 0.5) / h * 30.0 - 0.5, 0.0, 29.0)
+        # torch `.to(torch.int32)` truncates toward zero
+        bx0 = float(np.trunc(cx - hw)); bx1 = float(np.trunc(cx + hw))
+        by0 = float(np.trunc(cy - hh)); by1 = float(np.trunc(cy + hh))
+        w = max(bx1 - bx0 + 1.0, 1.0)   # TO_REMOVE = 1
+        h = max(by1 - by0 + 1.0, 1.0)
+        # F.interpolate(align_corners=False): out pixel j samples input
+        # coordinate (j+0.5)*(30/size)-0.5, edge-clamped
+        u = np.clip((xs - bx0 + 0.5) * (30.0 / w) - 0.5, 0.0, 29.0)
+        v = np.clip((ys - by0 + 0.5) * (30.0 / h) - 0.5, 0.0, 29.0)
         Rx = np.maximum(0.0, 1.0 - np.abs(u[:, None] - ks))  # (W, 30)
         Ry = np.maximum(0.0, 1.0 - np.abs(v[:, None] - ks))  # (H, 30)
         val = Ry @ masks[d] @ Rx.T
-        inside = ((ys[:, None] >= by0) & (ys[:, None] <= by1)
-                  & (xs[None, :] >= bx0) & (xs[None, :] <= bx1))
+        # integer paste window [y_0, y_1) x [x_0, x_1)
+        inside = ((ys[:, None] >= max(by0, 0.0))
+                  & (ys[:, None] < min(by1 + 1.0, float(out_h)))
+                  & (xs[None, :] >= max(bx0, 0.0))
+                  & (xs[None, :] < min(bx1 + 1.0, float(out_w))))
         out[d] = (val > mask_threshold) & inside
     return out
 

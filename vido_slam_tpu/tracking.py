@@ -570,6 +570,8 @@ class Tracker:
         self.imu_max_segments = imu_max_segments
         self.imu_scale = 1.0           # mScale
         self.imu_initialized = False
+        self.imu_init_attempts = 0     # observability: InitializeIMU runs
+        self.imu_refine_runs = 0       # observability: ScaleRefinement runs
         self.imu_bias = np.zeros(6, np.float32)
         self.Rwg: Optional[np.ndarray] = None
         self._imu_queue: list = []     # pending (a, w, t) measurements
@@ -724,7 +726,10 @@ class Tracker:
             twb.append(Twb[:3, 3])
         return np.stack(Rwb), np.stack(twb)
 
-    def _stacked_preints(self, n_pairs: int):
+    def _stacked_preints(self, preints):
+        """Pad a list of preintegration states into the fixed (M-1)-slot
+        arrays `initialize_imu` consumes (pair i covers frames i -> i+1 of
+        the window the caller selected)."""
         M = self.imu_max_frames - 1
         z33 = np.zeros((3, 3), np.float32)
         out = {
@@ -740,7 +745,7 @@ class Tracker:
             "C9": np.tile(np.eye(9, dtype=np.float32) * 1e-6, (M, 1, 1)),
         }
         pv = np.zeros(M, bool)
-        for i, st in enumerate(self._preints[:M]):
+        for i, st in enumerate(preints[:M]):
             if st is None:
                 continue
             out["dts"][i] = st.dT
@@ -758,23 +763,36 @@ class Tracker:
 
     def _try_initialize_imu(self, timestamp: float) -> None:
         """InitializeIMU (Tracking.cc:937-1044): needs >= 10 frames and
-        >= 2 s of data; estimates gravity/scale/biases and rescales the map."""
+        >= 2 s of data; estimates gravity/scale/biases and rescales the map.
+
+        The reference retries every frame while uninitialized with NO upper
+        frame bound (Tracking.cc:1452-1453, gate :939-949) — so this never
+        locks out: past `imu_max_frames` frames the attempt SLIDES to the
+        most recent imu_max_frames frames / preint pairs (fixed problem
+        shape), instead of giving up. A sequence whose early frames lack
+        excitation (e.g. stopped at a light) still initializes once motion
+        begins."""
         from vido_slam_tpu.estimation.imu_init import initialize_imu
 
         n = len(self.map)
-        if n < 10 or n > self.imu_max_frames:
+        if n < 10:
             return
-        t0 = self.map.frames[0].timestamp
+        M = self.imu_max_frames
+        n_w = min(n, M)                       # window = most recent n_w
+        t0 = self.map.frames[n - n_w].timestamp
         if timestamp - t0 < 2.0:
             return
         Rwb_np, twb_np = self._body_poses()
-        M = self.imu_max_frames
         Rwb = np.tile(np.eye(3, dtype=np.float32), (M, 1, 1))
         twb = np.zeros((M, 3), np.float32)
-        Rwb[:n] = Rwb_np
-        twb[:n] = twb_np
-        pp, pv = self._stacked_preints(n - 1)
-        pv[n - 1:] = False
+        Rwb[:n_w] = Rwb_np[n - n_w:]
+        twb[:n_w] = twb_np[n - n_w:]
+        # the n_w-1 preint pairs covering the window's consecutive frames
+        # (None entries — intervals with no IMU samples — stay pair-invalid)
+        window_pre = self._preints[: n - 1][-(n_w - 1):]
+        pp, pv = self._stacked_preints(window_pre)
+        pv[n_w - 1:] = False
+        self.imu_init_attempts += 1
         with self._host_math():
             res = initialize_imu(
                 jnp.asarray(Rwb), jnp.asarray(twb),
@@ -856,6 +874,7 @@ class Tracker:
         pre = self._preints[: len(self.map) - 1][-(n - 1):]
         if not pre or any(p is None for p in pre):
             return
+        self.imu_refine_runs += 1
         with self._host_math():
             dts = jnp.asarray([p.dT for p in pre])
             dV = jnp.asarray([p.dV for p in pre])
@@ -1090,9 +1109,12 @@ class Tracker:
         if ts is None:
             return False
         if not self.imu_initialized:
+            # no upper frame bound: init retries every frame over a sliding
+            # window of the most recent imu_max_frames frames (the reference
+            # retries unboundedly, Tracking.cc:1452-1453)
             n = len(self.map) + len(self._pending_q) \
                 + (1 if self._pending is not None else 0)
-            if n < 10 or n > self.imu_max_frames:
+            if n < 10:
                 return False
             t0 = self.map.frames[0].timestamp if len(self.map) else 0.0
             return ts - t0 >= 2.0

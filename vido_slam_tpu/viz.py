@@ -309,36 +309,52 @@ def draw_frame_overlay(image: np.ndarray, slam_map: SlamMap,
     return img
 
 
+# matplotlib backends with no display window — LiveViewer must no-op on
+# all of these, not just "agg" (module:// covers inline/notebook shims)
+_NON_INTERACTIVE_BACKENDS = ("agg", "cairo", "pdf", "pgf", "ps", "svg",
+                             "template")
+
+
 class LiveViewer:
     """Minimal interactive live 3D viewer — the on-demand counterpart of
     VidoViewer (VidoViewer.cc Run loop: trajectory + map points + object
-    boxes redrawn as the map evolves), with the pause semantics INVERTED
-    as the headless design requires (SURVEY section 1): the reference
-    starts paused and gates GrabImageRGBD on the viewer's button
+    boxes redrawn as the map evolves, plus the annotated video image panel
+    via DisplayDynamicImage), with the pause semantics INVERTED as the
+    headless design requires (SURVEY section 1): the reference starts
+    paused and gates GrabImageRGBD on the viewer's button
     (VidoViewer.cc:12, Tracking.cc:729-731); this viewer starts RUNNING
     and pausing (space key) only freezes the display refresh — the
     pipeline is never blocked.
 
     Falls back to a no-op when no interactive matplotlib backend is
-    available (headless hosts), so `--view` is always safe to pass.
+    available (headless hosts), so `--view` is always safe to pass;
+    `disabled_reason` records why (None while healthy).
     """
 
     def __init__(self, every: int = 5, max_points: int = 2000):
         self.every = max(int(every), 1)
         self.max_points = max_points
         self.paused = False
+        self.disabled_reason = None
         self._n = 0
         self._ok = False
+        self._img_ax = None
         try:
             import matplotlib
             import matplotlib.pyplot as plt
 
-            if matplotlib.get_backend().lower() == "agg":
-                raise RuntimeError("non-interactive backend")
+            backend = matplotlib.get_backend().lower()
+            if (backend in _NON_INTERACTIVE_BACKENDS
+                    or backend.startswith("module://")):
+                raise RuntimeError(f"non-interactive backend {backend!r}")
             plt.ion()
             self._plt = plt
-            self._fig = plt.figure(figsize=(7, 7))
-            self._ax = self._fig.add_subplot(111, projection="3d")
+            self._fig = plt.figure(figsize=(12, 7))
+            # left: annotated video image (DisplayDynamicImage panel);
+            # right: 3D trajectory/points/boxes
+            self._img_ax = self._fig.add_subplot(1, 2, 1)
+            self._img_ax.set_axis_off()
+            self._ax = self._fig.add_subplot(1, 2, 2, projection="3d")
             self._fig.canvas.mpl_connect("key_press_event", self._on_key)
             self._fig.suptitle("vido_slam_tpu live (space: pause/run)")
             self._ok = True
@@ -349,19 +365,27 @@ class LiveViewer:
         if event.key == " ":
             self.paused = not self.paused
 
-    def update(self, slam_map: SlamMap) -> None:
+    def update(self, slam_map: SlamMap, image: np.ndarray = None) -> None:
         """Call once per tracked frame; redraws every `every` frames unless
-        paused. Never raises and never blocks beyond one GUI event tick."""
+        paused. `image` (H, W[, 3] RGB), when given, is annotated with the
+        tracked features (draw_frame_overlay) and shown beside the 3D axes.
+        Never raises and never blocks beyond one GUI event tick."""
         self._n += 1
         if not self._ok or self.paused or self._n % self.every:
             return
         try:
             self._ax.cla()
             _draw_scene(self._ax, slam_map, None, self.max_points)
+            if image is not None and self._img_ax is not None:
+                self._img_ax.cla()
+                self._img_ax.set_axis_off()
+                self._img_ax.imshow(
+                    draw_frame_overlay(image, slam_map))
             self._fig.canvas.draw_idle()
             self._plt.pause(0.001)
-        except Exception:
+        except Exception as e:
             self._ok = False
+            self.disabled_reason = str(e)
 
     def close(self) -> None:
         if self._ok:
