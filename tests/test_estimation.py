@@ -225,3 +225,85 @@ class TestObjectMotion:
         np.testing.assert_allclose(np.array(est.T), np.array(H_true), atol=1e-3)
 
 pytestmark = pytest.mark.slow  # heavy jit: full tier only
+
+
+class TestPoseLMPallasParity:
+    """Fused Pallas unary-reprojection LM (estimation/lm_pallas.py) vs the
+    lm_solve-driven XLA path — camera (Huber) and object (P = K*Tcw, no
+    kernel) variants, interpret mode on the CPU test backend."""
+
+    def _scene(self, seed, n=400):
+        import jax
+        key = jax.random.PRNGKey(seed)
+        cam = Camera.create(fx=408.2, fy=408.7, cx=304.1, cy=133.3,
+                            width=640, height=192, bf=193.8)
+        k1, k2, k3 = jax.random.split(key, 3)
+        u = jax.random.uniform(k1, (n,), minval=30.0, maxval=610.0)
+        v = jax.random.uniform(k2, (n,), minval=20.0, maxval=172.0)
+        z = jax.random.uniform(k3, (n,), minval=5.0, maxval=40.0)
+        pts = cam.backproject(jnp.stack([u, v], -1), z)
+        return cam, pts
+
+    def test_camera_matches_xla(self):
+        import jax
+        from vido_slam_tpu.estimation.lm_pallas import pose_lm_batched_pallas
+        from vido_slam_tpu.estimation.pose import (
+            HUBER_DELTA_POSE, pose_optimization)
+        from vido_slam_tpu.geometry import se3, so3
+
+        cam, pts = self._scene(0)
+        T_true = se3.make_se3(so3.exp_so3(jnp.array([0.01, 0.03, -0.02])),
+                              jnp.array([0.3, -0.1, 0.5]))
+        obs = cam.project(se3.transform_points(T_true, pts))
+        k = jax.random.PRNGKey(5)
+        obs = obs + 0.05 * jax.random.normal(k, obs.shape)
+        valid = jnp.ones(pts.shape[0], bool)
+        T0 = se3.make_se3(so3.exp_so3(jnp.array([0.0, 0.02, 0.0])),
+                          jnp.array([0.25, 0.0, 0.45]))
+        ref = pose_optimization(T0, pts, obs, valid, cam)
+        pb = pose_lm_batched_pallas(
+            T0[None], jnp.eye(4)[None], pts[None], obs[None], valid[None],
+            cam, huber_delta=HUBER_DELTA_POSE, max_iters=100,
+            interpret=True)
+        dT = se3.compose(se3.inverse_se3(ref.T), pb.T[0])
+        assert float(jnp.linalg.norm(se3.log_se3(dT))) < 1e-4
+        np.testing.assert_allclose(np.asarray(pb.chi2[0]),
+                                   np.asarray(ref.chi2), atol=1e-4)
+
+    def test_object_batch_matches_xla(self):
+        import jax
+        from vido_slam_tpu.estimation.lm_pallas import pose_lm_batched_pallas
+        from vido_slam_tpu.estimation.pose import (
+            RP_THRES, object_motion_optimization)
+        from vido_slam_tpu.geometry import se3, so3
+
+        cam, pts = self._scene(2, n=300)
+        Tcw = se3.make_se3(so3.exp_so3(jnp.array([0.0, 0.05, 0.0])),
+                           jnp.array([0.1, 0.0, 0.3]))
+        K = 3
+        Hs, obss, valids, H0s = [], [], [], []
+        for b in range(K):
+            H_true = se3.make_se3(
+                so3.exp_so3(jnp.array([0.0, 0.01 * b, 0.0])),
+                jnp.array([0.4 + 0.1 * b, 0.0, -0.2]))
+            pw = se3.transform_points(H_true, pts)
+            obs = cam.project(se3.transform_points(Tcw, pw))
+            obs = obs + 0.03 * jax.random.normal(
+                jax.random.PRNGKey(10 + b), obs.shape)
+            obss.append(obs)
+            valids.append(jnp.arange(pts.shape[0]) % (b + 2) != 0)
+            H0s.append(se3.make_se3(jnp.eye(3),
+                                    jnp.array([0.35 + 0.1 * b, 0.0, -0.15])))
+        # per-object observations differ -> pass batched obs
+        pb = pose_lm_batched_pallas(
+            jnp.stack(H0s), jnp.broadcast_to(Tcw, (K, 4, 4)), pts,
+            jnp.stack(obss), jnp.stack(valids), cam, huber_delta=None,
+            max_iters=100, interpret=True)
+        for b in range(K):
+            ref = object_motion_optimization(H0s[b], Tcw, pts, obss[b],
+                                             valids[b], cam)
+            dT = se3.compose(se3.inverse_se3(ref.T), pb.T[b])
+            assert float(jnp.linalg.norm(se3.log_se3(dT))) < 1e-4, b
+            ref_inl = ref.inliers
+            pal_inl = (pb.chi2[b] <= RP_THRES) & valids[b]
+            assert int(jnp.sum(ref_inl != pal_inl)) <= 3, b

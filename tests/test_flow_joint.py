@@ -148,3 +148,53 @@ def test_proj_jacobian_matches_jacfwd():
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(J), np.asarray(Jref),
                                rtol=1e-4, atol=1e-4)
+
+
+class TestFlowJointPallasParity:
+    """The fused Pallas 4-round solver (estimation/flow_joint_pallas.py)
+    must reproduce the XLA flow_joint_optimization: same constants, gates,
+    accept/reject policy — parity asserted on final pose, flows, and the
+    inlier set (interpret mode on the CPU test backend)."""
+
+    def _problem(self, seed, B):
+        key = jax.random.PRNGKey(seed)
+        cam, pts, obs_last = scene(key, n=300)
+        Ts, valids, flows = [], [], []
+        for b in range(B):
+            T_true = pose(tx=0.3 + 0.05 * b, ry=0.03 - 0.01 * b)
+            proj_true = cam.project(se3.transform_points(T_true, pts))
+            flow_true = proj_true - obs_last
+            k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 7 * b + 1))
+            noise = jax.random.normal(k1, flow_true.shape) * 0.3
+            fm = flow_true + noise
+            out = jax.random.uniform(k2, (pts.shape[0],)) < 0.08
+            fm = jnp.where(out[:, None], fm + 30.0, fm)
+            flows.append(fm)
+            valids.append(jnp.ones(pts.shape[0], bool))
+            Ts.append(pose(tx=0.25 + 0.05 * b, ry=0.02))
+        return (cam, pts, obs_last, jnp.stack(Ts), jnp.stack(flows),
+                jnp.stack(valids))
+
+    @pytest.mark.parametrize("B", [1, 3])
+    def test_matches_xla(self, B):
+        from vido_slam_tpu.estimation.flow_joint_pallas import (
+            flow_joint_batched_pallas)
+
+        cam, pts, obs_last, T_init, flow_meas, valid = self._problem(11, B)
+        ref = jax.vmap(
+            lambda T0, fm, va: flow_joint_optimization(
+                T0, pts, obs_last, fm, va, cam)
+        )(T_init, flow_meas, valid)
+        out = flow_joint_batched_pallas(T_init, pts, obs_last, flow_meas,
+                                        valid, cam, interpret=True)
+        # final poses agree
+        for b in range(B):
+            dT = se3.compose(se3.inverse_se3(ref.T[b]), out.T[b])
+            assert float(jnp.linalg.norm(se3.log_se3(dT))) < 1e-4, b
+        # inlier sets agree except at most a handful of gate-boundary points
+        diff = jnp.sum(ref.inliers != out.inliers)
+        assert int(diff) <= max(3, int(0.01 * ref.inliers.size))
+        # flows of common inliers agree
+        both = ref.inliers & out.inliers
+        err = jnp.abs(ref.flow - out.flow)[both]
+        assert float(jnp.max(err)) < 1e-2

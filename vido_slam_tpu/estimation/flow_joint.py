@@ -178,7 +178,7 @@ def _round_lm(T0, f0, pts3d, obs, flow_meas, active, valid, cam,
     return T, f
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "use_pallas"))
 def flow_joint_optimization(
     T_init: jnp.ndarray,       # (4, 4) SE(3) vertex init
     pts3d_world: jnp.ndarray,  # (N, 3) fixed world points (last frame)
@@ -187,9 +187,24 @@ def flow_joint_optimization(
     valid: jnp.ndarray,        # (N,) base correspondence set
     cam: Camera,
     iters: int = ROUND_ITERS,
+    use_pallas: bool = False,
 ) -> FlowJointEstimate:
-    """Four-round robust joint solve, Optimizer.cc:2742-2795 semantics."""
+    """Four-round robust joint solve, Optimizer.cc:2742-2795 semantics.
+
+    With use_pallas=True the whole 4-round solve runs as ONE fused Pallas
+    TPU kernel (estimation/flow_joint_pallas.py) instead of 4 while_loops
+    of ~40 dispatched ops each — same semantics, parity-tested."""
     valid = valid.astype(bool)
+    if use_pallas:
+        from vido_slam_tpu.estimation.flow_joint_pallas import (
+            flow_joint_batched_pallas)
+
+        jb = flow_joint_batched_pallas(
+            T_init[None], pts3d_world[None], obs_last[None],
+            flow_meas[None], valid[None], cam, iters=iters)
+        return FlowJointEstimate(
+            T=jb.T[0], flow=jb.flow[0], inliers=jb.inliers[0],
+            num_inliers=jb.num_inliers[0], chi2=jb.chi2[0])
     f = jnp.where(valid[:, None], flow_meas, 0.0)
     active = valid
     T = T_init
@@ -209,7 +224,7 @@ def flow_joint_optimization(
     )
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses",))
+@partial(jax.jit, static_argnames=("num_hypotheses", "use_pallas"))
 def estimate_camera_pose_joint(
     key: jnp.ndarray,
     pts3d_world: jnp.ndarray,
@@ -220,6 +235,7 @@ def estimate_camera_pose_joint(
     T_motion_model: jnp.ndarray,
     obs_pc: jnp.ndarray = None,  # (N, 3) current camera-frame backprojections
     num_hypotheses: int = 500,
+    use_pallas: bool = False,
 ):
     """GetInitModelCam + PoseOptimizationFlow2Cam (Tracking.cc:1125-1135).
 
@@ -234,7 +250,8 @@ def estimate_camera_pose_joint(
     T_init = jnp.where(use_ransac, rr.T, T_motion_model)
     init_inl = jnp.where(use_ransac, rr.inliers, mm_ok)
     je = flow_joint_optimization(
-        T_init, pts3d_world, obs_last, cur_uv - obs_last, init_inl, cam)
+        T_init, pts3d_world, obs_last, cur_uv - obs_last, init_inl, cam,
+        use_pallas=use_pallas)
     est = PoseEstimate(T=je.T, inliers=je.inliers,
                        num_inliers=je.num_inliers, chi2=je.chi2)
     return est, je.flow
@@ -273,3 +290,58 @@ def estimate_object_motion_joint(
     est = PoseEstimate(T=H, inliers=je.inliers,
                        num_inliers=je.num_inliers, chi2=je.chi2)
     return est, je.flow
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "use_pallas"))
+def estimate_object_motions_joint_batched(
+    keys: jnp.ndarray,            # (K, 2) PRNG keys
+    Tcw: jnp.ndarray,             # (4, 4) current camera pose
+    pts3d_world: jnp.ndarray,     # (N, 3) last-frame object points (shared)
+    obs_last: jnp.ndarray,        # (N, 2)
+    cur_uv: jnp.ndarray,          # (N, 2)
+    masks: jnp.ndarray,           # (K, N) per-object point sets
+    cam: Camera,
+    H_motion_model: jnp.ndarray,  # (K, 4, 4)
+    has_motion_model: jnp.ndarray,  # (K,)
+    obs_pc: jnp.ndarray = None,
+    num_hypotheses: int = 500,
+    use_pallas: bool = False,
+):
+    """All K per-frame object motions in one batch: the RANSAC-vs-motion-
+    model initialization is vmapped XLA; the 4-round joint LM runs as one
+    K-problem fused Pallas kernel when use_pallas (one grid step per
+    object) or as the vmapped XLA solver otherwise. Semantically identical
+    to vmap(estimate_object_motion_joint).
+
+    Returns (H (K, 4, 4), inliers (K, N), num_inliers (K,), flow (K, N, 2)).
+    """
+
+    def init_one(kk, msk, Hm, hm):
+        rr = pnp_ransac(kk, pts3d_world, cur_uv, msk, cam, obs_pc,
+                        num_hypotheses=num_hypotheses)
+        M_mm = compose(Tcw, Hm)
+        mm_ok, mm_count = _count_model_inliers(M_mm, pts3d_world, cur_uv,
+                                               msk, cam)
+        mm_count = jnp.where(hm, mm_count, -1)
+        use_ransac = rr.num_inliers > mm_count
+        return (jnp.where(use_ransac, rr.T, M_mm),
+                jnp.where(use_ransac, rr.inliers, mm_ok))
+
+    M_init, init_inl = jax.vmap(init_one)(keys, masks, H_motion_model,
+                                          has_motion_model)
+    flow_meas = cur_uv - obs_last
+    if use_pallas:
+        from vido_slam_tpu.estimation.flow_joint_pallas import (
+            flow_joint_batched_pallas)
+
+        jb = flow_joint_batched_pallas(M_init, pts3d_world, obs_last,
+                                       flow_meas, init_inl, cam)
+        M, inl, n_inl, fl = jb.T, jb.inliers, jb.num_inliers, jb.flow
+    else:
+        je = jax.vmap(
+            lambda M0, ii: flow_joint_optimization(
+                M0, pts3d_world, obs_last, flow_meas, ii, cam)
+        )(M_init, init_inl)
+        M, inl, n_inl, fl = je.T, je.inliers, je.num_inliers, je.flow
+    H = jax.vmap(lambda Mi: compose(inverse_se3(Tcw), Mi))(M)
+    return H, inl, n_inl, fl

@@ -84,7 +84,7 @@ def _se3_retract(T, delta):
     return compose(exp_se3(delta), T)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "use_pallas"))
 def pose_optimization(
     T_init: jnp.ndarray,
     pts3d_world: jnp.ndarray,  # (N, 3) last-frame unprojections in world
@@ -92,6 +92,7 @@ def pose_optimization(
     valid: jnp.ndarray,        # (N,) bool
     cam: Camera,
     max_iters: int = POSE_ITERS,
+    use_pallas: bool = False,
 ) -> PoseEstimate:
     """LM refine of the camera pose on fixed correspondences.
 
@@ -99,7 +100,20 @@ def pose_optimization(
     oplus semantics) and a closed-form Jacobian: left perturbation
     T <- exp(d) T gives d pc = d_rho + d_phi x pc, so
     J = J_proj(pc) [I | -hat(pc)] — the autodiff pass through exp/compose
-    was the dominant op count of this while-loop body on TPU."""
+    was the dominant op count of this while-loop body on TPU.
+
+    With use_pallas=True the whole LM runs as ONE fused Pallas kernel
+    (estimation/lm_pallas.py) — same Levenberg policy, parity-tested."""
+    if use_pallas:
+        from vido_slam_tpu.estimation.lm_pallas import pose_lm_batched_pallas
+
+        pb = pose_lm_batched_pallas(
+            T_init[None], jnp.eye(4, dtype=jnp.float32)[None],
+            pts3d_world[None], obs_uv[None], valid[None], cam,
+            huber_delta=HUBER_DELTA_POSE, max_iters=max_iters)
+        inl = (pb.chi2[0] <= RP_THRES) & valid
+        return PoseEstimate(T=pb.T[0], inliers=inl,
+                            num_inliers=jnp.sum(inl), chi2=pb.chi2[0])
 
     def residual(T):
         pc = jnp.einsum("nj,ij->ni", pts3d_world, T[:3, :3], precision=_HI) + T[:3, 3]
@@ -175,7 +189,7 @@ def _count_model_inliers(T, pts3d, obs_uv, valid, cam, thresh=RANSAC_REPROJ):
     return ok, jnp.sum(ok)
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses",))
+@partial(jax.jit, static_argnames=("num_hypotheses", "use_pallas"))
 def estimate_camera_pose(
     key: jnp.ndarray,
     pts3d_world: jnp.ndarray,
@@ -185,6 +199,7 @@ def estimate_camera_pose(
     T_motion_model: jnp.ndarray,  # velocity * T_last (Tracking.cc:1984-1987)
     obs_pc: jnp.ndarray = None,   # (N, 3) current camera-frame backprojections
     num_hypotheses: int = 500,
+    use_pallas: bool = False,
 ) -> PoseEstimate:
     """Full camera-pose pipeline: RANSAC vs motion model, then LM refine.
 
@@ -209,7 +224,8 @@ def estimate_camera_pose(
     use_ransac = rr.num_inliers >= mm_count
     T_init = jnp.where(use_ransac, rr.T, T_motion_model)
     init_inl = jnp.where(use_ransac, rr.inliers, mm_ok)
-    return pose_optimization(T_init, pts3d_world, obs_uv, init_inl, cam)
+    return pose_optimization(T_init, pts3d_world, obs_uv, init_inl, cam,
+                             use_pallas=use_pallas)
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))
@@ -246,3 +262,54 @@ def estimate_object_motion(
     return object_motion_optimization(
         H_init, Tcw, pts3d_world, obs_uv, init_inl, cam
     )
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "use_pallas"))
+def estimate_object_motions_batched(
+    keys: jnp.ndarray,            # (K, 2)
+    Tcw: jnp.ndarray,             # (4, 4)
+    pts3d_world: jnp.ndarray,     # (N, 3) shared
+    obs_uv: jnp.ndarray,          # (N, 2)
+    masks: jnp.ndarray,           # (K, N)
+    cam: Camera,
+    H_motion_model: jnp.ndarray,  # (K, 4, 4)
+    has_motion_model: jnp.ndarray,  # (K,)
+    obs_pc: jnp.ndarray = None,
+    num_hypotheses: int = 500,
+    use_pallas: bool = False,
+):
+    """All K object motions in one batch — semantically identical to
+    vmap(estimate_object_motion). With use_pallas, the K LM refines run as
+    ONE fused Pallas kernel (grid step per object, estimation/lm_pallas.py);
+    the RANSAC-vs-model init stays vmapped XLA.
+
+    Returns (H (K, 4, 4), inliers (K, N), num_inliers (K,))."""
+
+    def init_one(kk, msk, Hm, hm):
+        rr = pnp_ransac(kk, pts3d_world, obs_uv, msk, cam, obs_pc,
+                        num_hypotheses=num_hypotheses)
+        M_mm = compose(Tcw, Hm)
+        mm_ok, mm_count = _count_model_inliers(M_mm, pts3d_world, obs_uv,
+                                               msk, cam)
+        mm_count = jnp.where(hm, mm_count, -1)
+        use_ransac = rr.num_inliers >= mm_count
+        M_init = jnp.where(use_ransac, rr.T, M_mm)
+        init_inl = jnp.where(use_ransac, rr.inliers, mm_ok)
+        return compose(inverse_se3(Tcw), M_init), init_inl
+
+    H_init, init_inl = jax.vmap(init_one)(keys, masks, H_motion_model,
+                                          has_motion_model)
+    if use_pallas:
+        from vido_slam_tpu.estimation.lm_pallas import pose_lm_batched_pallas
+
+        K = masks.shape[0]
+        pb = pose_lm_batched_pallas(
+            H_init, jnp.broadcast_to(Tcw, (K, 4, 4)), pts3d_world, obs_uv,
+            init_inl, cam, huber_delta=None, max_iters=OBJ_ITERS)
+        inl = (pb.chi2 <= RP_THRES) & init_inl
+        return pb.T, inl, jnp.sum(inl, axis=1)
+    est = jax.vmap(
+        lambda H0, ii: object_motion_optimization(
+            H0, Tcw, pts3d_world, obs_uv, ii, cam)
+    )(H_init, init_inl)
+    return est.T, est.inliers, est.num_inliers

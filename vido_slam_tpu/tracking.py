@@ -40,10 +40,11 @@ from vido_slam_tpu.config import Config
 from vido_slam_tpu.estimation.pose import (
     estimate_camera_pose,
     estimate_object_motion,
+    estimate_object_motions_batched,
 )
 from vido_slam_tpu.estimation.flow_joint import (
     estimate_camera_pose_joint,
-    estimate_object_motion_joint,
+    estimate_object_motions_joint_batched,
 )
 # NOTE: imported at module scope on purpose — importing inside the jitted
 # _track_step would execute window_ba's module-level jnp constants under an
@@ -190,6 +191,7 @@ def _track_step(
     ba_points: int = 1000,
     ba_iters: int = 10,
     record_light: bool = False,
+    lm_pallas: bool = False,
 ):
     k_cam, k_obj, k_fresh, k_next = jax.random.split(state.key, 4)
 
@@ -215,6 +217,7 @@ def _track_step(
             k_cam, pts3d_stat, state.stat.uv, cur_stat.uv,
             cur_stat.valid & state.stat.valid,
             cam, T_mm, cam.backproject(cur_stat.uv, cur_stat.depth),
+            use_pallas=lm_pallas,
         )
         uv_j = jnp.where(est.inliers[:, None], state.stat.uv + flow_opt,
                          cur_stat.uv)
@@ -227,6 +230,7 @@ def _track_step(
         est = estimate_camera_pose(
             k_cam, pts3d_stat, cur_stat.uv, cur_stat.valid & state.stat.valid,
             cam, T_mm, cam.backproject(cur_stat.uv, cur_stat.depth),
+            use_pallas=lm_pallas,
         )
     Tcw = est.T
     velocity = compose(Tcw, inverse_se3(state.Tcw))
@@ -268,28 +272,28 @@ def _track_step(
 
     obj_pc_cur = cam.backproject(cur_obj.uv, cur_obj.depth)
 
-    def one(kk, msk, Hm, hm):
-        if joint_flow:
-            # PoseOptimizationFlow2 (Tracking.cc:1268-1271)
-            oest, fl = estimate_object_motion_joint(
-                kk, Tcw, pts3d_obj_pre, state.obj.uv, cur_obj.uv, msk, cam,
-                Hm, hm, obj_pc_cur,
-            )
-        else:
-            oest = estimate_object_motion(
-                kk, Tcw, pts3d_obj_pre, cur_obj.uv, msk, cam, Hm, hm,
-                obj_pc_cur,
-            )
-            fl = jnp.zeros_like(cur_obj.uv)
-        w = msk.astype(jnp.float32)
-        c = jnp.sum(pts3d_obj_pre * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
-        sp_v = oest.T[:3, 3] - (jnp.eye(3) - oest.T[:3, :3]) @ c
-        speed = jnp.linalg.norm(sp_v) * 36.0
-        return oest.T, oest.inliers, oest.num_inliers, c, speed, fl
-
     keys = jax.random.split(k_obj, max_objects)
-    H, obj_inl, n_inl, cent, speed, obj_flow = jax.vmap(one)(
-        keys, obj_masks, H_mm, has_mm)
+    if joint_flow:
+        # PoseOptimizationFlow2 (Tracking.cc:1268-1271) for all K objects in
+        # one batch; with lm_pallas the 4-round LM is ONE fused kernel with
+        # a grid step per object (estimation/flow_joint_pallas.py)
+        H, obj_inl, n_inl, obj_flow = estimate_object_motions_joint_batched(
+            keys, Tcw, pts3d_obj_pre, state.obj.uv, cur_obj.uv, obj_masks,
+            cam, H_mm, has_mm, obj_pc_cur, use_pallas=lm_pallas,
+        )
+    else:
+        H, obj_inl, n_inl = estimate_object_motions_batched(
+            keys, Tcw, pts3d_obj_pre, cur_obj.uv, obj_masks, cam, H_mm,
+            has_mm, obj_pc_cur, use_pallas=lm_pallas,
+        )
+        obj_flow = jnp.zeros((max_objects,) + cur_obj.uv.shape,
+                             cur_obj.uv.dtype)
+    wK = obj_masks.astype(jnp.float32)                       # (K, N)
+    cent = (wK @ pts3d_obj_pre) / jnp.maximum(
+        jnp.sum(wK, axis=1, keepdims=True), 1.0)             # (K, 3)
+    sp_v = H[:, :3, 3] - jnp.einsum(
+        "kij,kj->ki", jnp.eye(3)[None] - H[:, :3, :3], cent)
+    speed = jnp.linalg.norm(sp_v, axis=-1) * 36.0
     if joint_flow:
         # updateflow writeback (Optimizer.cc:3224-3232): the per-object
         # masks are disjoint, so a masked sum combines the K flow fields
@@ -517,6 +521,7 @@ class Tracker:
         joint_flow: bool = False,
         fused_ba: bool = False,
         record: str = "auto",
+        lm_pallas: bool = None,
     ):
         self.cfg = config
         c = config.camera
@@ -603,6 +608,10 @@ class Tracker:
         # the reference's bJoint (Tracking.h:184 — declared, never assigned):
         # joint flow+pose optimizers instead of fixed-correspondence LM
         self.joint_flow = joint_flow
+        # fused Pallas LM kernels for the joint solves: auto = on TPU only
+        # (the XLA formulation stays the CPU/test path; parity-tested)
+        self.lm_pallas = bool(jax.default_backend() == "tpu"
+                              if lm_pallas is None else lm_pallas)
         # record mode: what per-frame data crosses the device->host boundary.
         # "full" fetches per-point slots into FrameRecords (needed by the
         # host-assembled BA paths, the KITTI full-batch pass, point viz and
@@ -643,6 +652,7 @@ class Tracker:
             ba_points=self.ba_max_points,
             ba_iters=self.ba_iters,
             record_light=self.record_light,
+            lm_pallas=self.lm_pallas,
         )
         self._raw_step = raw_step
 
