@@ -335,6 +335,7 @@ def _mask_rcnn_cfg():
             DEFORMABLE_GROUPS=1,
             RES5_DILATION=1,
         ),
+        GROUP_NORM=_AttrDict(DIM_PER_GP=-1, NUM_GROUPS=32, EPSILON=1e-5),
         FPN=_AttrDict(USE_GN=False, USE_RELU=False),
         RPN=_AttrDict(RPN_HEAD="SingleConvRPNHead"),
         ROI_BOX_HEAD=_AttrDict(

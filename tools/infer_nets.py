@@ -115,6 +115,82 @@ def run_flow(args):
     print(f"-> flow.flo + flow.png saved to {args.out}")
 
 
+def run_detector(args):
+    """Alternative detector families drivable from the CLI (the reference's
+    config-selectable backbones, maskrcnn_benchmark/config/defaults.py
+    MODEL.BACKBONE.CONV_BODY / MODEL.RETINANET_ON / MODEL.FBNET_ON): one
+    invocation produces detections (JSON + annotated PNG) on an image file
+    or, with --image synthetic, a deterministic synthetic driving frame."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from vido_slam_tpu.system import COCO_LABELS
+
+    h = args.height - args.height % 32
+    w = args.width - args.width % 32
+    if args.image == "synthetic":
+        from vido_slam_tpu.io.synthetic import driving_clip
+
+        img = np.asarray(driving_clip(height=h, width=w, n_frames=1))[0]
+        img = img / 255.0
+    else:
+        img, _ = _load_rgb(args.image, h, w)
+
+    x = jnp.asarray(img * 255.0, jnp.float32)[None]
+    if args.family == "fbnet":
+        from vido_slam_tpu.models.maskrcnn.fbnet import (
+            fbnet_inference, init_fbnet_params)
+
+        p = init_fbnet_params(jax.random.PRNGKey(0), arch=args.arch)
+        det = fbnet_inference(p, x, h, w, arch=args.arch)
+    elif args.family == "retinanet":
+        from vido_slam_tpu.models.maskrcnn.backbone import ResNetConfig
+        from vido_slam_tpu.models.maskrcnn.retinanet import (
+            init_retinanet_params, retinanet_inference)
+
+        cfg = ResNetConfig()
+        p = init_retinanet_params(jax.random.PRNGKey(0), cfg)
+        det = retinanet_inference(p, x, cfg, h, w)
+    else:  # maskrcnn
+        from vido_slam_tpu.models.maskrcnn.model import (
+            MaskRCNNConfig, init_maskrcnn_params, maskrcnn_inference)
+
+        cfg = MaskRCNNConfig(input_h=h, input_w=w)
+        p = init_maskrcnn_params(jax.random.PRNGKey(0), cfg)
+        det = maskrcnn_inference(p, x, cfg)
+
+    valid = np.asarray(det.valid)
+    boxes = np.asarray(det.boxes)[valid]
+    scores = np.asarray(det.scores)[valid]
+    labels = np.asarray(det.labels)[valid].astype(int)
+    os.makedirs(args.out, exist_ok=True)
+    recs = [
+        {"box": [round(float(v), 2) for v in b],
+         "score": round(float(s), 4),
+         "label": int(l),
+         "category": COCO_LABELS[l] if 0 <= l < len(COCO_LABELS) else str(l)}
+        for b, s, l in zip(boxes, scores, labels)
+    ]
+    with open(os.path.join(args.out, f"{args.family}_detections.json"), "w") as f:
+        json.dump({"family": args.family, "n": len(recs),
+                   "detections": recs}, f, indent=1)
+
+    # annotated PNG (boxes drawn into the input image)
+    from PIL import Image, ImageDraw
+
+    im = Image.fromarray((img * 255).astype(np.uint8))
+    dr = ImageDraw.Draw(im)
+    for b, s, l in zip(boxes, scores, labels):
+        dr.rectangle([b[0], b[1], b[2], b[3]], outline=(255, 64, 64))
+        dr.text((b[0] + 1, max(0.0, b[1] - 10)),
+                f"{COCO_LABELS[l] if 0 <= l < len(COCO_LABELS) else l}:{s:.2f}",
+                fill=(255, 255, 0))
+    im.save(os.path.join(args.out, f"{args.family}_annotated.png"))
+    print(f"-> {args.family}: {len(recs)} detections, saved to {args.out}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -131,11 +207,23 @@ def main(argv=None):
     f.add_argument("--weights", default="")
     f.add_argument("--height", type=int, default=192)
     f.add_argument("--width", type=int, default=640)
+    det = sub.add_parser("detector")
+    det.add_argument("--family", required=True,
+                     choices=["fbnet", "retinanet", "maskrcnn"])
+    det.add_argument("--image", default="synthetic",
+                     help="image file, or 'synthetic' for a generated frame")
+    det.add_argument("--out", required=True)
+    det.add_argument("--arch", default="default",
+                     help="FBNet arch name (default/mobilenet_v2/...)")
+    det.add_argument("--height", type=int, default=192)
+    det.add_argument("--width", type=int, default=640)
     args = ap.parse_args(argv)
     if args.cmd == "depth":
         run_depth(args)
-    else:
+    elif args.cmd == "flow":
         run_flow(args)
+    else:
+        run_detector(args)
 
 
 if __name__ == "__main__":

@@ -147,6 +147,28 @@ def batch_norm(
     return x * inv + (beta - mean * inv)
 
 
+def group_norm(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """torch.nn.GroupNorm in NHWC (reference make_layers.py group_norm:
+    GroupNorm(get_group_gn(C, -1, 32), C, eps=1e-5, affine) — defaults.py
+    MODEL.GROUP_NORM.{NUM_GROUPS:32, EPSILON:1e-5}). Per sample, per group
+    of C/G consecutive channels, normalise over (H, W, C/G); statistics in
+    f32 regardless of activation dtype."""
+    N, H, W, C = x.shape
+    G = num_groups
+    xg = x.reshape(N, H, W, G, C // G).astype(jnp.float32)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
+    xn = (xg - mean) * lax.rsqrt(var + eps)
+    xn = xn.reshape(N, H, W, C).astype(x.dtype)
+    return xn * gamma + beta
+
+
 def max_pool(x: jnp.ndarray, k: int = 3, stride: int = 2, padding: int = 1) -> jnp.ndarray:
     return lax.reduce_window(
         x,

@@ -23,6 +23,7 @@ from vido_slam_tpu.models.layers import (
     Params,
     batch_norm,
     conv2d,
+    group_norm,
     max_pool,
     relu,
 )
@@ -39,9 +40,16 @@ class ResNetConfig(NamedTuple):
     # layers/misc.py:114 DFConv2d when set)
     stage_with_dcn: tuple = (False, False, False, False)
     with_modulated_dcn: bool = False     # DCNv2 (27-ch offset+mask conv)
+    # norm trans-func: "frozen_bn" (BottleneckWithFixedBatchNorm, the
+    # deployed caffe2 checkpoints) or "gn" (BottleneckWithGN / StemWithGN,
+    # resnet.py:401-438 — GroupNorm(32, C, eps=1e-5), the loadable target
+    # of c2_loading's GN rename rules)
+    norm: str = "frozen_bn"
 
 
-def _bn(p: Params, prefix: str, x):
+def _bn(p: Params, prefix: str, x, norm: str = "frozen_bn"):
+    if norm == "gn":
+        return group_norm(x, p[f"{prefix}.weight"], p[f"{prefix}.bias"])
     # FrozenBatchNorm2d (layers/batch_norm.py:28): scale = w * var.rsqrt()
     # with NO epsilon — eps=1e-5 here would break checkpoint parity on
     # small-variance channels
@@ -70,21 +78,23 @@ def _dcn_conv2(p: Params, prefix: str, x, stride: int, groups: int,
 
 def _bottleneck(p: Params, prefix: str, x, stride: int, groups: int,
                 stride_in_1x1: bool, dcn: bool = False,
-                modulated_dcn: bool = False):
+                modulated_dcn: bool = False, norm: str = "frozen_bn"):
     s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
     identity = x
     out = relu(_bn(p, f"{prefix}.bn1",
-                   conv2d(x, p[f"{prefix}.conv1.weight"], stride=s1)))
+                   conv2d(x, p[f"{prefix}.conv1.weight"], stride=s1), norm))
     if dcn:
         conv2_out = _dcn_conv2(p, prefix, out, s3, groups, modulated_dcn)
     else:
         conv2_out = conv2d(out, p[f"{prefix}.conv2.weight"], stride=s3,
                            padding=1, groups=groups)
-    out = relu(_bn(p, f"{prefix}.bn2", conv2_out))
-    out = _bn(p, f"{prefix}.bn3", conv2d(out, p[f"{prefix}.conv3.weight"]))
+    out = relu(_bn(p, f"{prefix}.bn2", conv2_out, norm))
+    out = _bn(p, f"{prefix}.bn3", conv2d(out, p[f"{prefix}.conv3.weight"]),
+              norm)
     if f"{prefix}.downsample.0.weight" in p:
         identity = _bn(p, f"{prefix}.downsample.1",
-                       conv2d(x, p[f"{prefix}.downsample.0.weight"], stride=stride))
+                       conv2d(x, p[f"{prefix}.downsample.0.weight"], stride=stride),
+                       norm)
     return relu(out + identity)
 
 
@@ -92,7 +102,7 @@ def resnet_stages(p: Params, x: jnp.ndarray, cfg: ResNetConfig,
                   prefix: str = "backbone.body") -> List[jnp.ndarray]:
     """Input NHWC (already normalised); returns [C2, C3, C4, C5]."""
     x = conv2d(x, p[f"{prefix}.stem.conv1.weight"], stride=2, padding=3)
-    x = relu(_bn(p, f"{prefix}.stem.bn1", x))
+    x = relu(_bn(p, f"{prefix}.stem.bn1", x, cfg.norm))
     x = max_pool(x, 3, 2, 1)
     feats = []
     for si, nblocks in enumerate(cfg.stage_blocks):
@@ -103,6 +113,7 @@ def resnet_stages(p: Params, x: jnp.ndarray, cfg: ResNetConfig,
                 stride if b == 0 else 1, cfg.num_groups, cfg.stride_in_1x1,
                 dcn=cfg.stage_with_dcn[si],
                 modulated_dcn=cfg.with_modulated_dcn,
+                norm=cfg.norm,
             )
         feats.append(x)
     return feats
@@ -148,8 +159,9 @@ def init_resnet_fpn_params(key, cfg: ResNetConfig) -> Params:
     def add_bn(name, c):
         p[name + ".weight"] = jnp.ones(c)
         p[name + ".bias"] = jnp.zeros(c)
-        p[name + ".running_mean"] = jnp.zeros(c)
-        p[name + ".running_var"] = jnp.ones(c)
+        if cfg.norm != "gn":   # GroupNorm has no running statistics
+            p[name + ".running_mean"] = jnp.zeros(c)
+            p[name + ".running_var"] = jnp.ones(c)
 
     pre = "backbone.body"
     add_conv(f"{pre}.stem.conv1", 3, 64, 7)
