@@ -191,3 +191,82 @@ class TestDetectionTrainerLoop:
 
 
 pytestmark = pytest.mark.slow  # heavy jit: full tier only
+
+
+class TestMultiSequenceSLAM:
+    """dp-sharded multi-sequence SLAM tracking (parallel/slam_eval.py) —
+    SURVEY §2.4 'multi-sequence KAIST eval': S sequences through the
+    vmapped fused tracking step on the dp mesh, per-sequence trajectories
+    matching the single-device Tracker on the same inputs."""
+
+    S, T = 4, 6
+    W_IMG, H_IMG = 128, 80
+
+    def _sequences(self):
+        from vido_slam_tpu.geometry.camera import Camera
+        from vido_slam_tpu.geometry.se3 import make_se3
+        from vido_slam_tpu.io.synthetic import (
+            SyntheticScene, SyntheticSequence)
+
+        cam = Camera.create(fx=100.0, fy=100.0, cx=self.W_IMG / 2,
+                            cy=self.H_IMG / 2, width=self.W_IMG,
+                            height=self.H_IMG, bf=20.0)
+        scene = SyntheticScene(cam=cam, ground_y=1.5, boxes=())
+        seqs = []
+        for s in range(self.S):
+            dT = np.asarray(make_se3(
+                jnp.eye(3),
+                jnp.asarray([0.01 * s, 0.0, -0.3 - 0.05 * s])))
+            seqs.append(SyntheticSequence(scene, [dT], n_frames=self.T))
+        return cam, scene, seqs
+
+    def _cfg(self, cam):
+        from vido_slam_tpu.config import config_from_dict
+
+        return config_from_dict({
+            "Camera.width": cam.width, "Camera.height": cam.height,
+            "Camera.fx": float(cam.fx), "Camera.fy": float(cam.fy),
+            "Camera.cx": float(cam.cx), "Camera.cy": float(cam.cy),
+            "Camera.bf": float(cam.bf), "ThDepthBG": 80.0,
+            "MaxTrackPointBG": 400, "WINDOW_SIZE": 4,
+        })
+
+    @pytest.mark.slow
+    def test_matches_single_device_tracker(self, mesh):
+        from vido_slam_tpu.parallel.slam_eval import multi_sequence_tracking
+        from vido_slam_tpu.tracking import Tracker
+
+        cam, scene, seqs = self._sequences()
+        cfg = self._cfg(cam)
+        depths = jnp.stack([
+            jnp.stack([jnp.asarray(f.depth) for f in sq.frames])
+            for sq in seqs])
+        flows = jnp.stack([
+            jnp.stack([jnp.asarray(f.flow) for f in sq.frames])
+            for sq in seqs])
+        masks = jnp.stack([
+            jnp.stack([jnp.asarray(f.mask, jnp.int32) for f in sq.frames])
+            for sq in seqs])
+
+        res = multi_sequence_tracking(
+            mesh, cfg, depths, flows, masks,
+            n_bg=400, n_obj=200, max_objects=2, ba_points=200, ba_iters=5)
+        assert res.Tcw.shape == (self.S, self.T, 4, 4)
+
+        for s, sq in enumerate(seqs):
+            tracker = Tracker(cfg, n_bg=400, n_obj=200, max_objects=2,
+                              seed=s, local_ba=True, fused_ba=True,
+                              ba_max_points=200, ba_iters=5)
+            per_frame = []
+            for f in sq.frames:
+                per_frame.append(tracker.track(
+                    jnp.asarray(f.depth), jnp.asarray(f.flow),
+                    jnp.asarray(f.mask, jnp.int32)))
+            tracker.finish()
+            got = np.asarray(res.Tcw[s])
+            want = np.stack(per_frame)
+            np.testing.assert_allclose(got, want, atol=1e-4,
+                                       err_msg=f"sequence {s}")
+            # and the trajectories genuinely differ across sequences
+        d01 = np.abs(np.asarray(res.Tcw[0]) - np.asarray(res.Tcw[1])).max()
+        assert d01 > 1e-3, "sequences should have distinct trajectories"
