@@ -192,6 +192,31 @@ class TestFusedBA:
         assert d < 0.03, f"pose divergence {d} (ATE host {ate_h} fused {ate_f})"
         assert len(t_fuse.map.track_ids()) == 1
 
+
+
+    def test_first_odometry_edge_valid(self, sequence):
+        """Regression (r5): the window ring's odometry edges must be valid
+        for EVERY tracked pair, including the very first (frame 0 -> 1).
+        Gating the append on has_velocity (the motion-MODEL flag) dropped
+        the first edge, leaving the gauge frame tethered only through
+        Huber-saturated point edges — the window then ratcheted +z on every
+        re-solve (~0.4 m over 30 frames on the offline bench scene)."""
+        import jax
+
+        scene, seq = sequence
+        cfg = make_config(scene)
+        t = Tracker(cfg, n_bg=1200, n_obj=3000, max_objects=4, seed=0,
+                    fused_ba=True)
+        for fr in seq.frames[:4]:
+            t.track(fr.depth, fr.flow, fr.mask, Tcw_gt=fr.Tcw_gt)
+        ov = np.asarray(jax.device_get(t.state.ba_odom_valid))
+        W = ov.shape[0]
+        nf = int(jax.device_get(t.state.ba_nframes))
+        assert nf == 4
+        # pairs cover window positions (W-nf .. W-1); all nf-1 must be valid
+        assert ov[W - nf + 1:].all(), ov
+        assert not ov[:W - nf + 1].any(), ov
+
     def test_fused_pipelined_matches_fused_sync(self, sequence):
         scene, seq = sequence
         cfg = make_config(scene)

@@ -82,6 +82,37 @@ def _chol_solve6(S, b):
     return x
 
 
+def _gram(rows, n_rows: int):
+    """MXU Gram matrix of (S, 128) planes: G[j, k] = sum_{s,l} rows[j]*rows[k],
+    computed as S small (R, 128) @ (128, R) dots instead of R*(R+1)/2 full-
+    plane scalar reductions — the reductions dominated the first kernel
+    version's runtime (~27 VPU passes per LM iteration; this is ~S MXU ops).
+    `rows` may contain None entries (zero placeholder to pad R to a
+    sublane-friendly multiple of 8)."""
+    S = None
+    for r in rows:
+        if r is not None:
+            S = r.shape[0]
+            break
+    zero = None
+    mats = []
+    for r in rows:
+        if r is None:
+            if zero is None:
+                zero = jnp.zeros((S, 128), jnp.float32)
+            mats.append(zero)
+        else:
+            mats.append(r.astype(jnp.float32))
+    A = jnp.stack(mats)                      # (R, S, 128)
+    acc = jnp.zeros((n_rows, n_rows), jnp.float32)
+    for s in range(S):
+        As = A[:, s, :]                      # (R, 128)
+        acc = acc + jax.lax.dot_general(
+            As, As, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return acc
+
+
 def _exp_se3_compose(dxi, T):
     """T_new = exp(dxi) o T on scalar tuples. dxi: 6-list [rho, phi];
     T: 12-tuple (R00..R22, t0, t1, t2). Same series switch as
@@ -199,15 +230,22 @@ def _fj_kernel(cam_ref, data_ref, Tinit_ref, Tout_ref, fout_ref, chi2_ref,
             b_fu = a * r1u + s_pr * r2u
             b_fv = a * r1v + s_pr * r2v
             coef = a * s_pr / v
-            S = [[None] * 6 for _ in range(6)]
-            for j in range(6):
-                for k in range(j, 6):
-                    S[j][k] = jnp.sum(coef * (Ju[j] * Ju[k] + Jv[j] * Jv[k]))
-                    if k != j:
-                        S[k][j] = S[j][k]
             ru = a * r1u - (a / v) * b_fu
             rv = a * r1v - (a / v) * b_fv
-            rhs = [jnp.sum(Ju[j] * ru + Jv[j] * rv) for j in range(6)]
+            # Schur system + rhs in TWO MXU grams (16 rows each) instead of
+            # 21 + 6 scalar plane reductions: rows 0-5 carry sqrt(coef)*J
+            # (Gram block [0:6, 0:6] = S), rows 6-11 carry raw J and row 12
+            # the reduced residual (cross block [6+j, 12] = rhs_j)
+            sc = jnp.sqrt(jnp.maximum(coef, 0.0))
+            Gu = _gram([sc * Ju[j] for j in range(6)]
+                       + [Ju[j] for j in range(6)] + [ru, None, None, None],
+                       16)
+            Gv = _gram([sc * Jv[j] for j in range(6)]
+                       + [Jv[j] for j in range(6)] + [rv, None, None, None],
+                       16)
+            G = Gu + Gv
+            S = [[G[j, k] for k in range(6)] for j in range(6)]
+            rhs = [G[6 + j, 12] for j in range(6)]
             Sd = [[S[j][k] if k != j
                    else S[j][j] + lam * jnp.maximum(S[j][j], 1e-6)
                    for k in range(6)] for j in range(6)]

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vido_slam_tpu.estimation.flow_joint_pallas import (
     _chol_solve6,
     _exp_se3_compose,
+    _gram,
 )
 
 
@@ -112,13 +113,21 @@ def _pose_lm_kernel(cam_ref, data_ref, Tinit_ref, Tpre_ref, Tout_ref,
               gv2 * pwy - gv1 * pwz,
               gv0 * pwz - gv2 * pwx,
               gv1 * pwx - gv0 * pwy)
+        # 6x6 normal equations + gradient via TWO MXU grams (8 rows each):
+        # rows 0-5 = sqrt(w)*J, row 6 = sqrt(w)*r — H in [0:6, 0:6],
+        # g in [0:6, 6]. Replaces 21 + 6 scalar plane reductions per
+        # iteration (measured dominating the kernel's runtime).
+        sw = jnp.sqrt(jnp.maximum(w, 0.0))
+        Gu = _gram([sw * Ju[j] for j in range(6)] + [sw * ru, None], 8)
+        Gv = _gram([sw * Jv[j] for j in range(6)] + [sw * rv, None], 8)
+        G = Gu + Gv
         H = [None] * 21
         idx = 0
         for j in range(6):
             for k in range(j, 6):
-                H[idx] = jnp.sum(w * (Ju[j] * Ju[k] + Jv[j] * Jv[k]))
+                H[idx] = G[j, k]
                 idx += 1
-        g = [jnp.sum(w * (Ju[j] * ru + Jv[j] * rv)) for j in range(6)]
+        g = [G[j, 6] for j in range(6)]
         return tuple(H), tuple(g), cost, chi2
 
     def full(Ht):

@@ -371,8 +371,18 @@ def _track_step(
         [state.ba_obs_valid[1:], renewed_stat.valid[None]])
     ba_Twc = jnp.concatenate([state.ba_Twc[1:], inverse_se3(Tcw)[None]])
     ba_odom = jnp.concatenate([state.ba_odom[1:], cam_motion[None]])
+    # the appended pair's motion is MEASURED this frame (cam_motion above),
+    # so its odometry edge is always valid — gating it on has_velocity (the
+    # motion-MODEL flag, False on the first tracked frame) dropped the
+    # window's first odometry edge, leaving the gauge frame tethered only
+    # through Huber-saturated point edges: the window then wandered +z a
+    # little on every re-solve and the drift froze into the trajectory
+    # (~0.4 m over 30 frames on the offline scene — r5 root-caused by a
+    # fused-vs-host problem diff; the host assembly keeps this edge,
+    # matching the reference's vmRigidMotion odometry which exists for
+    # every tracked pair, Optimizer.cc:248-260)
     ba_odom_valid = jnp.concatenate(
-        [state.ba_odom_valid[1:], state.has_velocity[None]])
+        [state.ba_odom_valid[1:], jnp.ones((1,), bool)])
     nf = jnp.minimum(state.ba_nframes + 1, W)
 
     if fused_ba:
