@@ -307,3 +307,31 @@ class TestPoseLMPallasParity:
             ref_inl = ref.inliers
             pal_inl = (pb.chi2[b] <= RP_THRES) & valids[b]
             assert int(jnp.sum(ref_inl != pal_inl)) <= 3, b
+
+
+def test_ransac_matmul_scoring_matches_vmapped():
+    """The (N,4)@(4,3H) matmul scoring path must count EXACTLY like the
+    per-hypothesis _score (same projection guard, threshold, z gate)."""
+    import jax
+    from vido_slam_tpu.estimation.ransac import _score, _score_counts_all
+    from vido_slam_tpu.geometry import se3, so3
+
+    cam = Camera.create(fx=408.2, fy=408.7, cx=304.1, cy=133.3,
+                        width=640, height=192, bf=193.8)
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    N, H = 700, 64
+    u = jax.random.uniform(k1, (N,), minval=10.0, maxval=630.0)
+    v = jax.random.uniform(k2, (N,), minval=10.0, maxval=182.0)
+    z = jax.random.uniform(k3, (N,), minval=2.0, maxval=60.0)
+    X = cam.backproject(jnp.stack([u, v], -1), z)
+    T_true = se3.make_se3(so3.exp_so3(jnp.array([0.02, -0.03, 0.01])),
+                          jnp.array([0.2, 0.1, -0.4]))
+    obs = cam.project(se3.transform_points(T_true, X))
+    obs = obs + 0.3 * jax.random.normal(k4, obs.shape)
+    valid = jnp.arange(N) % 5 != 0
+    xi = jax.random.normal(jax.random.PRNGKey(9), (H, 6)) * 0.05
+    Ts = jax.vmap(lambda d: se3.compose(se3.exp_se3(d), T_true))(xi)
+    counts = _score_counts_all(Ts, X, obs, cam, valid, 0.4)
+    _, ref = jax.vmap(lambda T: _score(T, X, obs, cam, valid, 0.4))(Ts)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref))

@@ -208,3 +208,35 @@ class TestRetinaNet:
         assert len(ratios) >= 3
 
 pytestmark = pytest.mark.slow  # heavy jit: full tier only
+
+
+def test_rpn_head_concat_matches_per_level():
+    """The one-pass concatenated-pyramid RPN head must reproduce the
+    per-level head exactly (zero separator rows reproduce each level's own
+    conv padding; padded columns are sliced off)."""
+    import jax
+
+    from vido_slam_tpu.models.maskrcnn.rpn import rpn_head, rpn_head_concat
+
+    key = jax.random.PRNGKey(0)
+    C, A = 32, 3
+    p = {
+        "rpn.head.conv.weight": jax.random.normal(key, (3, 3, C, C)) * 0.1,
+        "rpn.head.conv.bias": jnp.zeros(C),
+        "rpn.head.cls_logits.weight": jax.random.normal(
+            jax.random.PRNGKey(1), (1, 1, C, A)) * 0.1,
+        "rpn.head.cls_logits.bias": jnp.zeros(A),
+        "rpn.head.bbox_pred.weight": jax.random.normal(
+            jax.random.PRNGKey(2), (1, 1, C, A * 4)) * 0.1,
+        "rpn.head.bbox_pred.bias": jnp.zeros(A * 4),
+    }
+    shapes = [(34, 50), (17, 25), (9, 13), (5, 7), (3, 4)]
+    feats = [jax.random.normal(jax.random.PRNGKey(10 + i), (1, h, w, C))
+             for i, (h, w) in enumerate(shapes)]
+    got = rpn_head_concat(p, feats, A)
+    for i, f in enumerate(feats):
+        lg, dl = rpn_head(p, f, A)
+        np.testing.assert_allclose(np.asarray(got[i][0]), np.asarray(lg),
+                                   atol=1e-5, err_msg=f"level {i} logits")
+        np.testing.assert_allclose(np.asarray(got[i][1]), np.asarray(dl),
+                                   atol=1e-5, err_msg=f"level {i} deltas")

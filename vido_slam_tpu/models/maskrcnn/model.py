@@ -41,6 +41,7 @@ from vido_slam_tpu.models.maskrcnn.rpn import (
     generate_cell_anchors,
     grid_anchors,
     rpn_head,
+    rpn_head_concat,
     select_over_all_levels,
     select_proposals_level,
 )
@@ -90,11 +91,13 @@ def maskrcnn_inference(
     feats = fpn_forward(params, stages)  # P2..P6
 
     lvl_boxes, lvl_scores, lvl_valid = [], [], []
+    head_out = rpn_head_concat(
+        params, feats, generate_cell_anchors(4, 32).shape[0])
     for li, f in enumerate(feats):
         stride = ANCHOR_STRIDES[li]
         cell = generate_cell_anchors(stride, ANCHOR_SIZES[li])
         anchors = jnp.asarray(grid_anchors(f.shape[1], f.shape[2], stride, cell))
-        logits, deltas = rpn_head(params, f, cell.shape[0])
+        logits, deltas = head_out[li]
         obj = logits[0].reshape(-1)
         dl = deltas[0].reshape(-1, 4)
         b, s, v = select_proposals_level(obj, dl, anchors, H, W)

@@ -81,6 +81,43 @@ def rpn_head(p: Params, feat: jnp.ndarray, num_anchors: int):
     return logits, deltas.reshape(N, H, W, num_anchors, 4)
 
 
+def rpn_head_concat(p: Params, feats, num_anchors: int):
+    """RPN head over ALL pyramid levels in ONE pass: levels are stacked
+    along rows (widths zero-padded to the max, one zero separator row
+    between levels so the 3x3 conv cannot bleed across level boundaries —
+    the zeros reproduce each level's own zero padding exactly), the three
+    head convs run once on the concatenated map, and per-level slices are
+    returned. Numerically identical to per-level `rpn_head`; replaces
+    5x(conv+bias+relu+2 convs) with 3 ops — the per-level small-tensor
+    launches and their unfused bias+relu epilogues were ~1.5 ms/frame on
+    the device trace (RPNHead weight sharing across levels, reference
+    modeling/rpn/rpn.py:109 — the same module is applied per level)."""
+    N = feats[0].shape[0]
+    Hs = [f.shape[1] for f in feats]
+    Ws = [f.shape[2] for f in feats]
+    Wmax = max(Ws)
+    parts = []
+    offs = []
+    row = 0
+    for i, f in enumerate(feats):
+        offs.append(row)
+        parts.append(jnp.pad(f, ((0, 0), (0, 1), (0, Wmax - Ws[i]), (0, 0))))
+        row += Hs[i] + 1
+    fcat = jnp.concatenate(parts, axis=1)        # (N, sum(H+1), Wmax, C)
+    t = relu(conv2d(fcat, p["rpn.head.conv.weight"],
+                    p["rpn.head.conv.bias"], padding=1))
+    logits = conv2d(t, p["rpn.head.cls_logits.weight"],
+                    p["rpn.head.cls_logits.bias"])
+    deltas = conv2d(t, p["rpn.head.bbox_pred.weight"],
+                    p["rpn.head.bbox_pred.bias"])
+    out = []
+    for i in range(len(feats)):
+        lg = logits[:, offs[i]:offs[i] + Hs[i], :Ws[i], :]
+        dl = deltas[:, offs[i]:offs[i] + Hs[i], :Ws[i], :]
+        out.append((lg, dl.reshape(N, Hs[i], Ws[i], num_anchors, 4)))
+    return out
+
+
 def _topk_padded(scores: jnp.ndarray, k: int):
     n = scores.shape[0]
     if n < k:
