@@ -201,7 +201,8 @@ def run_offline_row(n_warmup, n_bench, pipelined, fused, scene, seq,
     fps = 10.0
     tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,
                       local_ba=True, ba_max_points=1000, ba_iters=10,
-                      pipelined=pipelined, fused_ba=fused, use_imu=use_imu)
+                      pipelined=pipelined, fused_ba=fused, use_imu=use_imu,
+                      lm_pallas=_lm_pallas_flag())
     dev = [(jnp.asarray(f.depth), jnp.asarray(f.flow),
             jnp.asarray(f.mask, jnp.int32)) for f in seq.frames]
 
@@ -263,6 +264,24 @@ def run_offline_row(n_warmup, n_bench, pipelined, fused, scene, seq,
     row["ate_rmse_m"] = round(ate, 4)
     row["traj_len_m"] = round(traj_len, 2)
     row["ate_pct_of_length"] = round(100.0 * ate / max(traj_len, 1e-9), 3)
+    if use_imu and tracker.imu_initialized:
+        # after IMU init the map lives in the gravity-aligned, rescaled
+        # world (ApplyScaledRotation) — the unaligned ATE vs GT measures
+        # the frame change, not tracking quality. Report the SE(3)-aligned
+        # ATE (standard for VI systems) and the similarity-aligned ATE
+        # whose residual scale factor exposes the recovered-scale error.
+        from vido_slam_tpu.metrics import umeyama_alignment, camera_centers
+
+        ate_se3 = float(ate_rmse(est, gt, align=True, with_scale=False))
+        ate_sim = float(ate_rmse(est, gt, align=True, with_scale=True))
+        _, _, s_fit = umeyama_alignment(
+            camera_centers(est), camera_centers(gt), with_scale=True)
+        row["ate_se3_aligned_m"] = round(ate_se3, 4)
+        row["ate_sim3_aligned_m"] = round(ate_sim, 4)
+        row["ate_se3_pct_of_length"] = round(
+            100.0 * ate_se3 / max(traj_len, 1e-9), 3)
+        # est is metric-correct when the similarity fit needs no scale
+        row["scale_vs_gt"] = round(1.0 / max(s_fit, 1e-9), 4)
     if with_oracle:
         # the NORTH-STAR parity number in the headline artifact: ATE of
         # this run's trajectory vs the independent f64 protocol oracle,
@@ -308,6 +327,15 @@ def run_offline_row(n_warmup, n_bench, pipelined, fused, scene, seq,
     return row
 
 
+def _lm_pallas_flag():
+    """Fused Pallas LM kernels: default auto (None -> on for TPU backends);
+    VIDO_LM_PALLAS=0/1 forces, for A/B bisection."""
+    v = os.environ.get("VIDO_LM_PALLAS", "")
+    if v == "":
+        return None
+    return v == "1"
+
+
 def _log(msg):
     print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
           flush=True)
@@ -343,7 +371,8 @@ def run_row(cfg, mask_cfg, frames, n_warmup, n_bench, pair, pipelined,
     )
     tracker = Tracker(cfg, n_bg=3000, n_obj=4000, max_objects=8, seed=0,
                       local_ba=True, ba_max_points=1000, ba_iters=10,
-                      pipelined=pipelined, fused_ba=fused, use_imu=use_imu)
+                      pipelined=pipelined, fused_ba=fused, use_imu=use_imu,
+                      lm_pallas=_lm_pallas_flag())
     if os.environ.get("VIDO_BENCH_DEFERRED_BA", "0") == "1":
         tracker.ba_deferred = True
     tracker.attach_perception(perception, "kaist",

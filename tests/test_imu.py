@@ -68,6 +68,48 @@ class TestPreintegration:
         np.testing.assert_allclose(np.asarray(st.dP), dP, atol=1e-4)
         np.testing.assert_allclose(float(st.dT), dts.sum(), rtol=1e-5)
 
+    def test_compose_matches_joint_integration(self):
+        """compose_preints(A, B) == integrating A's and B's samples as one
+        segment: deltas exactly, bias Jacobians and covariance to first
+        order."""
+        from vido_slam_tpu.imu.preintegration import compose_preints
+
+        rng = np.random.default_rng(0)
+        n1, n2 = 37, 23
+        accs = rng.normal(0, 2.0, (n1 + n2, 3)).astype(np.float32) + \
+            np.asarray([0.0, 0.0, -9.79], np.float32)
+        gyros = rng.normal(0, 0.4, (n1 + n2, 3)).astype(np.float32)
+        dts = np.full(n1 + n2, 0.005, np.float32)
+        c = calib()
+        stA = integrate_measurements(
+            init_preintegration(), jnp.asarray(accs[:n1]),
+            jnp.asarray(gyros[:n1]), jnp.asarray(dts[:n1]), c)
+        stB = integrate_measurements(
+            init_preintegration(), jnp.asarray(accs[n1:]),
+            jnp.asarray(gyros[n1:]), jnp.asarray(dts[n1:]), c)
+        stAB = compose_preints(stA, stB)
+        ref = integrate_measurements(
+            init_preintegration(), jnp.asarray(accs), jnp.asarray(gyros),
+            jnp.asarray(dts), c)
+        np.testing.assert_allclose(np.asarray(stAB.dR), np.asarray(ref.dR),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(stAB.dV), np.asarray(ref.dV),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(stAB.dP), np.asarray(ref.dP),
+                                   atol=1e-4)
+        assert abs(float(stAB.dT) - float(ref.dT)) < 1e-6
+        for name in ("JRg", "JVg", "JVa", "JPg", "JPa"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(stAB, name)),
+                np.asarray(getattr(ref, name)), atol=2e-3, err_msg=name)
+        CA = np.asarray(stAB.C)[:9, :9]
+        CR = np.asarray(ref.C)[:9, :9]
+        # covariances agree to linearisation accuracy (relative per block)
+        for sl in (slice(0, 3), slice(3, 6), slice(6, 9)):
+            na = np.linalg.norm(CA[sl, sl])
+            nr = np.linalg.norm(CR[sl, sl])
+            assert abs(na - nr) <= 0.05 * max(nr, 1e-12), (sl, na, nr)
+
     def test_padding_noop(self):
         accs, gyros, dts = simulate_imu(n=50)
         a_pad = np.concatenate([accs, np.random.randn(30, 3).astype(np.float32)])

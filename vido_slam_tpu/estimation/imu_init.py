@@ -104,6 +104,17 @@ def initialize_imu(
     # second removes the first-order linearisation error of the first
     U, s, Rwg1, _ = linear_alignment(Rwb, twb, dts, dV_b, dP_b, pair_valid, Rwg0)
     U, s, Rwg1, _ = linear_alignment(Rwb, twb, dts, dV_b, dP_b, pair_valid, Rwg1)
+    # cheap reject: when even the closed-form global optimum of stage B is
+    # degenerate (scale below the reference's abort gate, Tracking.cc:1008)
+    # the caller will reject the attempt anyway — skip the expensive LM
+    # polish. Matters when the tracker retries init EVERY frame on a
+    # sequence whose visual trajectory cannot support it.
+    if float(jax.device_get(s)) < 0.1:
+        N = Rwb.shape[0]
+        return InertialInitResult(
+            scale=s, Rwg=Rwg1, bg=bg_A, ba=jnp.zeros(3),
+            velocities=jnp.zeros((N, 3)), cost=jnp.float32(jnp.inf),
+            num_iters=jnp.int32(0))
     s_safe = jnp.maximum(s, 0.1)  # reference aborts on tiny scale (:1008)
 
     res = inertial_optimization(

@@ -48,16 +48,20 @@ def gather_nearest(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 
 
 def gather_depth_bilinear(depth: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """Depth gather: bilinear on smooth surfaces, NEAREST at depth
-    discontinuities or invalid taps. The reference reads depth at integer
-    pixel coords (Frame.cc `imDepth.at<float>((int)y, (int)x)`,
-    Tracking.cc:375-430) so it never blends across an occlusion boundary;
-    a plain bilinear read there fabricates depths that exist on no surface
-    (e.g. 5 m object + 80 m road -> 40 m) — pixel-inlier tracks carrying
-    such 3D obs into the window BA measurably dragged the whole window
-    against the Huber-saturated odometry edges (r5 offline-row debugging:
-    first-window pose error 0.002 m -> 0.023-0.09 m). depth (H, W),
-    uv (N, 2)."""
+    """Bilinear depth gather that falls back to NEAREST when any of the
+    four taps is invalid (depth <= 0) OR the taps straddle a >5x depth
+    ratio (a gross occlusion boundary, e.g. 5 m object against 80 m road
+    — blending there fabricates depths that exist on no surface; the
+    reference reads integer pixel coords, Frame.cc
+    `imDepth.at<float>((int)y,(int)x)`, and never blends at all).
+
+    A tighter 5% relative-spread gate was tried (r5) and REVERTED: on
+    oblique surfaces (the road at grazing angles) adjacent rows routinely
+    differ by >5%, so the gate quantised most far-ground reads to pixel
+    centres and measurably degraded the VIO init's scale observability
+    (test_vio_e2e scale 2.39 -> 1.55). The window-drag it was meant to fix
+    was root-caused to the missing first odometry edge instead
+    (tracking.py ring append). depth (H, W), uv (N, 2)."""
     H, W = depth.shape
     u = jnp.clip(uv[:, 0], 0.0, W - 1.0)
     v = jnp.clip(uv[:, 1], 0.0, H - 1.0)
@@ -74,9 +78,8 @@ def gather_depth_bilinear(depth: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     all_valid = (d00 > 0) & (d01 > 0) & (d10 > 0) & (d11 > 0)
     dmin = jnp.minimum(jnp.minimum(d00, d01), jnp.minimum(d10, d11))
     dmax = jnp.maximum(jnp.maximum(d00, d01), jnp.maximum(d10, d11))
-    # smooth-surface gate: a >5% relative spread across the four taps marks
-    # a depth discontinuity — use the nearest sample (a real surface depth)
-    smooth = all_valid & (dmax - dmin <= 0.05 * dmax)
+    # gross-occlusion gate only (see docstring): >5x tap ratio -> nearest
+    smooth = all_valid & (dmax <= 5.0 * dmin)
     bil = (
         d00 * (1 - fu) * (1 - fv) + d01 * fu * (1 - fv)
         + d10 * (1 - fu) * fv + d11 * fu * fv

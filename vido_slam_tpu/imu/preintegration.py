@@ -209,3 +209,77 @@ def prepare_segments(
         w_out[i] = 0.5 * (ww[i] + ww[i + 1])
         dt_out[i] = dt
     return a_out, w_out, dt_out
+
+
+def compose_preints(a: PreintegrationState, b: PreintegrationState):
+    """Compose two consecutive preintegrated segments into one covering
+    both intervals (the algebra behind ImuTypes' MergePrevious,
+    ImuTypes.cc — here used to build LONGER-baseline preintegration pairs
+    for the inertial initialization: consecutive 0.1 s camera-rate pairs
+    make the visual-inertial alignment an errors-in-variables problem whose
+    scale estimate attenuates toward 0 under cm-level VO noise; composing
+    K pairs grows the kinematic signal ~K^2 while the VO noise stays
+    constant). Host-side numpy; states must share the integration bias.
+
+      dR = dR_a dR_b
+      dV = dV_a + dR_a dV_b
+      dP = dP_a + dV_a dT_b + dR_a dP_b
+
+    Bias Jacobians by the chain rule through dR_a Exp(JRg_a db); the 9x9
+    covariance propagates with the same linear maps
+    (C' = A1 C_a A1^T + A2 C_b A2^T).
+    """
+    import numpy as np
+
+    Ra = np.asarray(a.dR, np.float64)
+    Rb = np.asarray(b.dR, np.float64)
+    Va, Vb = np.asarray(a.dV, np.float64), np.asarray(b.dV, np.float64)
+    Pa, Pb = np.asarray(a.dP, np.float64), np.asarray(b.dP, np.float64)
+    dTb = float(b.dT)
+
+    def _hat(v):
+        return np.array([[0.0, -v[2], v[1]],
+                         [v[2], 0.0, -v[0]],
+                         [-v[1], v[0], 0.0]])
+
+    dR = Ra @ Rb
+    dV = Va + Ra @ Vb
+    dP = Pa + Va * dTb + Ra @ Pb
+
+    JRg_a = np.asarray(a.JRg, np.float64)
+    JRg_b = np.asarray(b.JRg, np.float64)
+    JVg = (np.asarray(a.JVg, np.float64)
+           + Ra @ (np.asarray(b.JVg, np.float64) - _hat(Vb) @ JRg_a))
+    JVa_ = np.asarray(a.JVa, np.float64) + Ra @ np.asarray(b.JVa, np.float64)
+    JPg = (np.asarray(a.JPg, np.float64) + np.asarray(a.JVg, np.float64) * dTb
+           + Ra @ (np.asarray(b.JPg, np.float64) - _hat(Pb) @ JRg_a))
+    JPa_ = (np.asarray(a.JPa, np.float64) + np.asarray(a.JVa, np.float64) * dTb
+            + Ra @ np.asarray(b.JPa, np.float64))
+    JRg = Rb.T @ JRg_a + JRg_b
+
+    I3 = np.eye(3)
+    A1 = np.zeros((9, 9))
+    A1[0:3, 0:3] = Rb.T
+    A1[3:6, 0:3] = -Ra @ _hat(Vb)
+    A1[3:6, 3:6] = I3
+    A1[6:9, 0:3] = -Ra @ _hat(Pb)
+    A1[6:9, 3:6] = dTb * I3
+    A1[6:9, 6:9] = I3
+    A2 = np.zeros((9, 9))
+    A2[0:3, 0:3] = I3
+    A2[3:6, 3:6] = Ra
+    A2[6:9, 6:9] = Ra
+    Ca = np.asarray(a.C, np.float64)[:9, :9]
+    Cb = np.asarray(b.C, np.float64)[:9, :9]
+    C9 = A1 @ Ca @ A1.T + A2 @ Cb @ A2.T
+    C = np.zeros((15, 15))
+    C[:9, :9] = C9
+
+    return PreintegrationState(
+        dR=jnp.asarray(dR, jnp.float32), dV=jnp.asarray(dV, jnp.float32),
+        dP=jnp.asarray(dP, jnp.float32),
+        JRg=jnp.asarray(JRg, jnp.float32), JVg=jnp.asarray(JVg, jnp.float32),
+        JVa=jnp.asarray(JVa_, jnp.float32), JPg=jnp.asarray(JPg, jnp.float32),
+        JPa=jnp.asarray(JPa_, jnp.float32), C=jnp.asarray(C, jnp.float32),
+        dT=jnp.float32(float(a.dT) + dTb), bias=a.bias,
+    )

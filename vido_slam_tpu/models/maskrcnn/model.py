@@ -91,13 +91,19 @@ def maskrcnn_inference(
     feats = fpn_forward(params, stages)  # P2..P6
 
     lvl_boxes, lvl_scores, lvl_valid = [], [], []
-    head_out = rpn_head_concat(
+    import os as _os
+    _concat = _os.environ.get("VIDO_RPN_CONCAT", "0") == "1"
+    head_out = (rpn_head_concat(
         params, feats, generate_cell_anchors(4, 32).shape[0])
+        if _concat else None)
     for li, f in enumerate(feats):
         stride = ANCHOR_STRIDES[li]
         cell = generate_cell_anchors(stride, ANCHOR_SIZES[li])
         anchors = jnp.asarray(grid_anchors(f.shape[1], f.shape[2], stride, cell))
-        logits, deltas = head_out[li]
+        if head_out is not None:
+            logits, deltas = head_out[li]
+        else:
+            logits, deltas = rpn_head(params, f, cell.shape[0])
         obj = logits[0].reshape(-1)
         dl = deltas[0].reshape(-1, 4)
         b, s, v = select_proposals_level(obj, dl, anchors, H, W)

@@ -527,6 +527,7 @@ class Tracker:
         use_imu: bool = False,
         imu_max_frames: int = 32,
         imu_max_segments: int = 64,
+        imu_init_stride: int = 3,
         pipelined: bool = False,
         joint_flow: bool = False,
         fused_ba: bool = False,
@@ -582,6 +583,9 @@ class Tracker:
         # ---- VIO state (Tracking.cc:112-121, 784-1077) ----
         self.use_imu = use_imu
         self.imu_max_frames = imu_max_frames
+        # inertial-init baseline stride (frames per composed preint pair);
+        # see _try_initialize_imu for the errors-in-variables rationale
+        self.imu_init_stride = imu_init_stride
         self.imu_max_segments = imu_max_segments
         self.imu_scale = 1.0           # mScale
         self.imu_initialized = False
@@ -618,10 +622,14 @@ class Tracker:
         # the reference's bJoint (Tracking.h:184 — declared, never assigned):
         # joint flow+pose optimizers instead of fixed-correspondence LM
         self.joint_flow = joint_flow
-        # fused Pallas LM kernels for the joint solves: auto = on TPU only
-        # (the XLA formulation stays the CPU/test path; parity-tested)
-        self.lm_pallas = bool(jax.default_backend() == "tpu"
-                              if lm_pallas is None else lm_pallas)
+        # fused Pallas LM kernels for the per-frame solves. Standalone the
+        # kernels beat the XLA while-loops 7-18x (estimation/lm_pallas.py),
+        # but INSIDE the fused frame program their packed-plane input
+        # layouts propagate backwards through the perception graph and the
+        # convolutions recompile ~2.9 ms/frame slower (measured by-source
+        # device-trace diff, r5) — a net loss. Default OFF until the layout
+        # isolation is solved; opt in with lm_pallas=True.
+        self.lm_pallas = bool(False if lm_pallas is None else lm_pallas)
         # record mode: what per-frame data crosses the device->host boundary.
         # "full" fetches per-point slots into FrameRecords (needed by the
         # host-assembled BA paths, the KITTI full-batch pass, point viz and
@@ -798,29 +806,36 @@ class Tracker:
         if n < 10:
             return
         M = self.imu_max_frames
-        n_w = min(n, M)                       # window = most recent n_w
-        t0 = self.map.frames[n - n_w].timestamp
-        if timestamp - t0 < 2.0:
+        t0_all = self.map.frames[max(0, n - M)].timestamp
+        if timestamp - t0_all < 2.0:
             return
         Rwb_np, twb_np = self._body_poses()
-        Rwb = np.tile(np.eye(3, dtype=np.float32), (M, 1, 1))
-        twb = np.zeros((M, 3), np.float32)
-        Rwb[:n_w] = Rwb_np[n - n_w:]
-        twb[:n_w] = twb_np[n - n_w:]
-        # the n_w-1 preint pairs covering the window's consecutive frames
-        # (None entries — intervals with no IMU samples — stay pair-invalid)
-        window_pre = self._preints[: n - 1][-(n_w - 1):]
-        pp, pv = self._stacked_preints(window_pre)
-        pv[n_w - 1:] = False
         self.imu_init_attempts += 1
-        with self._host_math():
-            res = initialize_imu(
-                jnp.asarray(Rwb), jnp.asarray(twb),
-                **{k: jnp.asarray(v) for k, v in pp.items()},
-                pair_valid=jnp.asarray(pv),
-                prior_g=1e2, prior_a=1e9,
-            )
-        res = jax.device_get(res)
+        # Two stride candidates, best (largest) recovered scale wins:
+        # consecutive 0.1 s camera-rate pairs make the visual-inertial
+        # alignment an errors-in-variables problem — the visual positions
+        # sit in the regressor multiplying the scale, so VO noise
+        # attenuates the scale strictly TOWARD ZERO (measured: 1 cm noise
+        # -> s=0.47x truth at stride 1; composing K pairs into one longer
+        # baseline grows the kinematic signal ~K^2 and recovers it). But
+        # when the VO noise is tiny, the stride only costs pairs
+        # (variance). Since the failure mode is one-sided, running the
+        # staged init at stride 1 AND stride K and keeping the LARGER
+        # valid scale picks the better-conditioned candidate in every
+        # measured regime. The reference's init over sparser KEYFRAMES is
+        # the same longer-baseline medicine (Tracking.cc:937+ operates on
+        # the keyframe chain).
+        strides = {1, max(1, int(self.imu_init_stride))}
+        best = None
+        for K in sorted(strides):
+            cand = self._init_candidate(K, n, M, Rwb_np, twb_np)
+            if cand is None:
+                continue
+            if best is None or float(cand.scale) > float(best.scale):
+                best = cand
+        if best is None:
+            return
+        res = best
         scale = float(res.scale)
         if scale < 0.1:  # Tracking.cc:1008-1012
             return
@@ -835,6 +850,45 @@ class Tracker:
             self._rescale_state(scale, Rwg.T)
         self.imu_initialized = True
         self._last_scale_refine_t = timestamp
+
+    def _init_candidate(self, K: int, n: int, M: int,
+                        Rwb_np: np.ndarray, twb_np: np.ndarray):
+        """One staged-init run over the stride-K window (composed preints);
+        None when the window cannot support it."""
+        from vido_slam_tpu.estimation.imu_init import initialize_imu
+        from vido_slam_tpu.imu.preintegration import compose_preints
+
+        idxs = list(range(n - 1, -1, -K))[::-1]
+        idxs = idxs[-M:]
+        n_w = len(idxs)
+        if n_w < 5:
+            return None
+        Rwb = np.tile(np.eye(3, dtype=np.float32), (M, 1, 1))
+        twb = np.zeros((M, 3), np.float32)
+        Rwb[:n_w] = Rwb_np[idxs]
+        twb[:n_w] = twb_np[idxs]
+        # composed preint per strided pair; any missing sub-pair (None —
+        # no IMU samples in that interval) invalidates the pair
+        window_pre = []
+        for a, b in zip(idxs[:-1], idxs[1:]):
+            subs = self._preints[a:b]
+            if any(p is None for p in subs):
+                window_pre.append(None)
+                continue
+            st = subs[0]
+            for p in subs[1:]:
+                st = compose_preints(st, p)
+            window_pre.append(st)
+        pp, pv = self._stacked_preints(window_pre)
+        pv[n_w - 1:] = False
+        with self._host_math():
+            res = initialize_imu(
+                jnp.asarray(Rwb), jnp.asarray(twb),
+                **{k: jnp.asarray(v) for k, v in pp.items()},
+                pair_valid=jnp.asarray(pv),
+                prior_g=1e2, prior_a=1e9,
+            )
+        return jax.device_get(res)
 
     def _rescale_state(self, scale: float, Ryw: np.ndarray) -> None:
         """Bring the device-side tracking state into the rescaled, gravity-
@@ -879,33 +933,60 @@ class Tracker:
 
         if timestamp - self._last_scale_refine_t < 10.0:
             return
-        n = min(len(self.map), self.imu_max_frames)
-        recs = self.map.frames[-n:]
-        # gravity/scale only, over the recent window, biases fixed
+        from vido_slam_tpu.imu.preintegration import compose_preints
+
+        nmap = len(self.map)
         Tbc = np.asarray(self.cfg.imu.Tbc, np.float64)
         Tcb = np.linalg.inv(Tbc)
-        Rwb, twb = [], []
-        for rec in recs:
-            Twb = np.linalg.inv(np.asarray(rec.Tcw, np.float64)) @ Tcb
-            Rwb.append(Twb[:3, :3])
-            twb.append(Twb[:3, 3])
-        # only preints whose BOTH frames are recorded (in pipelined modes
-        # preints can run ahead of the map by the in-flight frames)
-        pre = self._preints[: len(self.map) - 1][-(n - 1):]
-        if not pre or any(p is None for p in pre):
-            return
+
+        def candidate(K):
+            """Stride-K stage-B alignment (same errors-in-variables
+            medicine as the init, see _try_initialize_imu); only preints
+            whose BOTH frames are recorded (pipelined modes can run the
+            preints ahead of the map)."""
+            idxs = list(range(nmap - 1, -1, -K))[::-1]
+            idxs = idxs[-self.imu_max_frames:]
+            if len(idxs) < 5:
+                return None
+            Rwb, twb = [], []
+            for i in idxs:
+                Twb = np.linalg.inv(
+                    np.asarray(self.map.frames[i].Tcw, np.float64)) @ Tcb
+                Rwb.append(Twb[:3, :3])
+                twb.append(Twb[:3, 3])
+            pre = []
+            for a, b in zip(idxs[:-1], idxs[1:]):
+                subs = self._preints[a:b]
+                if b > len(self._preints) or any(p is None for p in subs):
+                    return None
+                st = subs[0]
+                for p in subs[1:]:
+                    st = compose_preints(st, p)
+                pre.append(st)
+            with self._host_math():
+                dts = jnp.asarray([p.dT for p in pre])
+                dV = jnp.asarray([p.dV for p in pre])
+                dP = jnp.asarray([p.dP for p in pre])
+                pv = jnp.asarray([p.dT > 0 for p in pre])
+                Rwb_j = jnp.asarray(np.stack(Rwb), jnp.float32)
+                twb_j = jnp.asarray(np.stack(twb), jnp.float32)
+                Rwg0 = estimate_gravity_direction(Rwb_j, dV, pv)
+                _, s, Rwg, _ = linear_alignment(
+                    Rwb_j, twb_j, dts, dV, dP, pv, Rwg0)
+            return float(s), np.asarray(Rwg)
+
         self.imu_refine_runs += 1
-        with self._host_math():
-            dts = jnp.asarray([p.dT for p in pre])
-            dV = jnp.asarray([p.dV for p in pre])
-            dP = jnp.asarray([p.dP for p in pre])
-            pv = jnp.asarray([p.dT > 0 for p in pre])
-            Rwb_j = jnp.asarray(np.stack(Rwb), jnp.float32)
-            twb_j = jnp.asarray(np.stack(twb), jnp.float32)
-            Rwg0 = estimate_gravity_direction(Rwb_j, dV, pv)
-            _, s, Rwg, _ = linear_alignment(Rwb_j, twb_j, dts, dV, dP, pv,
-                                            Rwg0)
-        scale = float(s)
+        best = None
+        for K in sorted({1, max(1, int(self.imu_init_stride))}):
+            c = candidate(K)
+            if c is None:
+                continue
+            # EIV attenuation is one-sided (toward 0): larger scale wins
+            if best is None or c[0] > best[0]:
+                best = c
+        if best is None:
+            return
+        scale, Rwg = best
         self._last_scale_refine_t = timestamp
         if scale < 0.1 or abs(scale - 1.0) <= 1e-5:
             return
