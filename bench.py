@@ -11,7 +11,15 @@ Measured rows (VERDICT r2 items 1 and 6):
   r50_544x800   — the fast row (R-50-FPN, a reference-sanctioned
                   alternative, MODEL_ZOO.md:26)
   vio_r50_544x800 — the SAME fused program driven as IMU_RGBD (scalar
-                  scale input + per-frame preintegration/init hooks)
+                  scale input + per-frame preintegration/init hooks).
+                  NOTE: with random-weight perception the visual
+                  trajectory is noise, so the inertial init CANNOT
+                  honestly succeed here — the row measures the full VIO
+                  overhead (preintegration + an init retry EVERY frame,
+                  Tracking.cc:1452 semantics, with the cheap stage-B
+                  reject) and records imu_init_attempts; the row whose
+                  init genuinely fires is kaist_offline_1280x560_vio
+                  (GT perception inputs, analytic GT IMU)
   x101_1088x800 — the reference ROS node's ACTUAL configuration:
                   X-101-32x8d-FPN with every input resized to 1088x800
                   (run_mask_rcnn.py:30, predictor.py:282 —

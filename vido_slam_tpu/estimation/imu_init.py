@@ -92,6 +92,25 @@ def initialize_imu(
       C. joint LM polish with the full whitened 9-dim residuals and bias
          priors (inertial_optimization).
     """
+    # cheapest-first gate: one closed-form stage-B pass at zero gyro bias.
+    # The tracker retries init EVERY frame while uninitialized
+    # (Tracking.cc:1452 semantics); on sequences whose visual trajectory
+    # cannot support initialization every attempt would otherwise pay
+    # stage A's 20-iteration LM before being rejected. The gyro bias only
+    # perturbs dV/dP to first order, so a hopeless attempt (scale below
+    # the reference's 0.1 abort gate at the GLOBAL optimum of the
+    # linearised problem) is hopeless at bg=0 too.
+    Rwg_g = estimate_gravity_direction(Rwb, dV, pair_valid)
+    _, s_gate, Rwg_gate, _ = linear_alignment(
+        Rwb, twb, dts, dV, dP, pair_valid, Rwg_g)
+    if float(jax.device_get(s_gate)) < 0.08:
+        N = Rwb.shape[0]
+        return InertialInitResult(
+            scale=jnp.minimum(s_gate, 0.05), Rwg=Rwg_gate,
+            bg=jnp.zeros(3), ba=jnp.zeros(3),
+            velocities=jnp.zeros((N, 3)), cost=jnp.float32(jnp.inf),
+            num_iters=jnp.int32(0))
+
     bg_A = estimate_gyro_bias(Rwb, dR, JRg, pair_valid)
     # correct the preintegrated deltas to bias bg_A (first-order Jacobians,
     # ImuTypes.cc:347-368); stage C then estimates a small residual bias

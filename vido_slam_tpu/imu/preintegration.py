@@ -275,11 +275,15 @@ def compose_preints(a: PreintegrationState, b: PreintegrationState):
     C = np.zeros((15, 15))
     C[:9, :9] = C9
 
+    # plain numpy fields: this runs on the HOST in per-frame init retries —
+    # jnp conversions here would each be a serialized put RPC on a tunneled
+    # TPU transport (measured: the VIO bench row fell to 0.3 FPS from ~90
+    # composes x 11 fields per attempt); consumers re-pack as needed
     return PreintegrationState(
-        dR=jnp.asarray(dR, jnp.float32), dV=jnp.asarray(dV, jnp.float32),
-        dP=jnp.asarray(dP, jnp.float32),
-        JRg=jnp.asarray(JRg, jnp.float32), JVg=jnp.asarray(JVg, jnp.float32),
-        JVa=jnp.asarray(JVa_, jnp.float32), JPg=jnp.asarray(JPg, jnp.float32),
-        JPa=jnp.asarray(JPa_, jnp.float32), C=jnp.asarray(C, jnp.float32),
-        dT=jnp.float32(float(a.dT) + dTb), bias=a.bias,
+        dR=dR.astype(np.float32), dV=dV.astype(np.float32),
+        dP=dP.astype(np.float32),
+        JRg=JRg.astype(np.float32), JVg=JVg.astype(np.float32),
+        JVa=JVa_.astype(np.float32), JPg=JPg.astype(np.float32),
+        JPa=JPa_.astype(np.float32), C=C.astype(np.float32),
+        dT=np.float32(float(a.dT) + dTb), bias=np.asarray(a.bias),
     )
