@@ -174,3 +174,30 @@ class TestMultilevelROIAlign:
             want = pooled_features_reference(feats, rois, res)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=2e-5, rtol=1e-5)
+
+
+def test_roi_align_fused_pallas_matches_xla():
+    """The fused Pallas multilevel ROIAlign body (ops/roi_align.py
+    roi_align_fused_pallas) must reproduce the XLA chunked two-einsum
+    formulation exactly (interpret mode on the CPU test backend)."""
+    import numpy as np
+
+    from vido_slam_tpu.ops.roi_align import roi_align_fused_pallas
+
+    rng = np.random.default_rng(1)
+    Htot, Wmax, C, R, r = 75, 50, 128, 37, 7
+    f = jnp.asarray(rng.normal(0, 1, (Htot, Wmax, C)).astype(np.float32))
+    Ry = jnp.asarray(rng.uniform(0, 1, (R, r, Htot)).astype(np.float32))
+    Rx = jnp.asarray(rng.uniform(0, 1, (R, r, Wmax)).astype(np.float32))
+    ref = jnp.einsum("bph,hwc,bqw->bpqc", Ry, f, Rx)
+    got = roi_align_fused_pallas(f, Ry, Rx, r, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+    # mask-head resolution too
+    r2 = 14
+    Ry2 = jnp.asarray(rng.uniform(0, 1, (11, r2, Htot)).astype(np.float32))
+    Rx2 = jnp.asarray(rng.uniform(0, 1, (11, r2, Wmax)).astype(np.float32))
+    ref2 = jnp.einsum("bph,hwc,bqw->bpqc", Ry2, f, Rx2)
+    got2 = roi_align_fused_pallas(f, Ry2, Rx2, r2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               atol=2e-4, rtol=1e-4)

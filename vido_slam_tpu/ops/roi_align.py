@@ -167,6 +167,11 @@ def roi_align_multilevel(
     Rx = (jnp.sum(hat_banded(xs, Wl, jnp.zeros_like(off), Wmax), axis=2) / s
           ).astype(fcat.dtype)
 
+    import os as _os
+    if (_os.environ.get("VIDO_ROI_PALLAS", "0") == "1"
+            and jax.default_backend() == "tpu" and C % 64 == 0):
+        return roi_align_fused_pallas(fcat, Ry, Rx, resolution)
+
     n_chunks = -(-R // chunk)
     pad_to = n_chunks * chunk
 
@@ -203,3 +208,83 @@ def roi_align_multilevel(
 # round-trip is the residual cost; revisit only if Mosaic gains fused
 # multi-dot support.
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas variant, round 5. The earlier removed attempt kept per-ROI
+# weight matmuls tiny (see note above); this one keeps the XLA path's LARGE
+# y-contraction matmul shape but (a) holds the feature slab VMEM-RESIDENT
+# across ROI chunks by making the channel tile the OUTER grid axis (the
+# block index map repeats, so Pallas skips the re-fetch), and (b) applies
+# the x-contraction in-kernel while `t` is still in VMEM — the
+# (chunk, r, Wmax, C) t intermediate's HBM round-trip was the dominant
+# non-MXU cost of the XLA formulation (~1.4 GB/frame at R=1000).
+# ---------------------------------------------------------------------------
+
+from jax.experimental import pallas as pl      # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+
+def _roi_fused_kernel(f_ref, ry_ref, rx_ref, out_ref, *, r: int, CH: int):
+    Fc = f_ref[...]                            # (Hp, Wmax, CT)
+    Hp, Wmax, CT = Fc.shape
+    A = ry_ref[...].reshape(CH * r, Hp)        # (CH*r, Hp)
+    t = jax.lax.dot_general(
+        A, Fc.reshape(Hp, Wmax * CT), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                          # (CH*r, Wmax*CT) f32
+    t = t.astype(f_ref.dtype)
+    for b in range(CH):
+        tb = t[b * r:(b + 1) * r].reshape(r, Wmax, CT)
+        tb = jnp.swapaxes(tb, 0, 1)            # (Wmax, r, CT) sublane perm
+        rx_b = rx_ref[b]                       # (r, Wmax)
+        ob = jax.lax.dot_general(
+            rx_b, tb.reshape(Wmax, r * CT), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                      # (q, p*CT): rows are q
+        ob = jnp.swapaxes(ob.reshape(r, r, CT), 0, 1)   # -> (p, q, CT)
+        out_ref[b] = ob.astype(out_ref.dtype)
+
+
+def roi_align_fused_pallas(
+    fcat: jnp.ndarray,     # (Htot, Wmax, C) concatenated pyramid
+    Ry: jnp.ndarray,       # (R, r, Htot) y-weights (already averaged)
+    Rx: jnp.ndarray,       # (R, r, Wmax) x-weights
+    resolution: int,
+    chunk: int = 8,
+    c_tile: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out (R, r, r, C) = per-ROI Ry @ F @ Rx^T with t kept in VMEM."""
+    Htot, Wmax, C = fcat.shape
+    r = resolution
+    R = Ry.shape[0]
+    CH = chunk
+    CT = c_tile
+    assert C % CT == 0
+    Hp = -(-Htot // 8) * 8
+    if Hp != Htot:
+        fcat = jnp.pad(fcat, ((0, Hp - Htot), (0, 0), (0, 0)))
+        Ry = jnp.pad(Ry, ((0, 0), (0, 0), (0, Hp - Htot)))
+    Rp = -(-R // CH) * CH
+    if Rp != R:
+        Ry = jnp.pad(Ry, ((0, Rp - R), (0, 0), (0, 0)))
+        Rx = jnp.pad(Rx, ((0, Rp - R), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        partial(_roi_fused_kernel, r=r, CH=CH),
+        out_shape=jax.ShapeDtypeStruct((Rp, r, r, C), fcat.dtype),
+        grid=(C // CT, Rp // CH),
+        in_specs=[
+            pl.BlockSpec((Hp, Wmax, CT), lambda c, b: (0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, r, Hp), lambda c, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, r, Wmax), lambda c, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CH, r, r, CT), lambda c, b: (b, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(fcat, Ry.astype(fcat.dtype), Rx.astype(fcat.dtype))
+    return out[:R]
